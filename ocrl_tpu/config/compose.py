@@ -128,6 +128,13 @@ def compose(
     for group, name in list(group_selections.items()):
         if (config_dir / group / f"{name}.yaml").exists():
             real_groups[group] = name
+        elif (config_dir / group).is_dir():
+            options = sorted(p.stem for p in (config_dir / group).glob("*.yaml")
+                             if not p.stem.startswith("_"))
+            raise FileNotFoundError(
+                f"Unknown option '{name}' for config group '{group}'. "
+                f"Available: {', '.join(options)}"
+            )
 
     cfg = _compose_file(config_dir, config_name, real_groups)
 
