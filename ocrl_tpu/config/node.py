@@ -126,6 +126,61 @@ def from_dict(data: dict) -> Config:
     return cfg
 
 
+class StaticConfig:
+    """Immutable, non-dict view of a Config for use as a flax module attribute.
+
+    flax.linen auto-converts dict attributes to FrozenDict, losing attribute
+    access; this wrapper is opaque to flax and hashable so modules treat the
+    config as static metadata.
+    """
+
+    def __init__(self, cfg: "Config | dict"):
+        if isinstance(cfg, StaticConfig):
+            cfg = cfg._cfg
+        if not isinstance(cfg, Config):
+            cfg = from_dict(dict(cfg))
+        object.__setattr__(self, "_cfg", cfg)
+        object.__setattr__(self, "_key", repr(sorted(cfg.walk())))
+
+    def __getattr__(self, key: str) -> Any:
+        value = getattr(object.__getattribute__(self, "_cfg"), key)
+        return StaticConfig(value) if isinstance(value, Config) else value
+
+    def __getitem__(self, key: str) -> Any:
+        return self.__getattr__(key)
+
+    def __contains__(self, key: str) -> bool:
+        return key in object.__getattribute__(self, "_cfg")
+
+    def get(self, key: str, default: Any = None) -> Any:
+        value = object.__getattribute__(self, "_cfg").get(key, default)
+        return StaticConfig(value) if isinstance(value, Config) else value
+
+    def __setattr__(self, key: str, value: Any) -> None:
+        raise AttributeError("StaticConfig is immutable; use .replace()")
+
+    def replace(self, **kv) -> "StaticConfig":
+        new = object.__getattribute__(self, "_cfg").copy()
+        for key, value in kv.items():
+            new.update_dotted(key, value)
+        return StaticConfig(new)
+
+    def to_config(self) -> Config:
+        return object.__getattribute__(self, "_cfg").copy()
+
+    def to_dict(self) -> dict:
+        return object.__getattribute__(self, "_cfg").to_dict()
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, StaticConfig) and self._key == other._key
+
+    def __hash__(self) -> int:
+        return hash(object.__getattribute__(self, "_key"))
+
+    def __repr__(self) -> str:
+        return f"StaticConfig({object.__getattribute__(self, '_cfg')!r})"
+
+
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
 
 

@@ -1,0 +1,91 @@
+"""Representation pretraining entry point (reference: train_ocr.py).
+
+    python train_ocr.py ocr=slate dataset=random-N5C4S4S2
+
+Same Hydra-style CLI surface, TPU-native internals: jitted train/eval steps,
+host->device prefetch, offline wandb-compatible logging, latest/best/step
+checkpoints with resume.
+"""
+
+import logging
+import time
+
+import numpy as np
+
+from ocrl_tpu import config as cfglib
+from ocrl_tpu import utils
+from ocrl_tpu.data import get_dataloaders, prefetch_to_device
+from ocrl_tpu.models import create_ocr
+from ocrl_tpu.utils import get_log_prefix, init_wandb, logger
+
+log = logging.getLogger(__name__)
+
+
+@cfglib.main("train_ocr")
+def main(config):
+    logging.basicConfig(level=logging.INFO)
+    log_name = get_log_prefix(config) + f"-{config.dataset.name}"
+    tags = config.tags.split(",") + config.dataset.tags.split(",")
+    run = init_wandb(config, "TrainOCR-" + log_name, tags=tags)
+
+    train_dl, val_dl = get_dataloaders(
+        config.dataset, config.batch_size, config.num_workers, seed=config.seed)
+
+    # MAE lr scaling rule (reference: train_ocr.py:35-36)
+    if config.ocr.name == "MAE":
+        config.ocr.learning.lr = config.ocr.learning.lr * config.batch_size / 256
+
+    model = create_ocr(config.ocr, config.dataset, seed=config.seed)
+
+    step, epoch, best_val_loss = utils.load(
+        model, run_dir=run.dir,
+        resume_checkpoint=config.load.resume_checkpoint,
+        resume_run_path=config.load.resume_run_path)
+
+    while epoch < config.max_epochs:
+        t0, imgs = time.time(), 0
+        for batch in prefetch_to_device(train_dl, size=2):
+            masks = batch.get("masks")
+            metrics = model.update(batch["obss"], masks, step)
+            imgs += batch["obss"].shape[0]
+            logger.log({f"train/{k}": v for k, v in metrics.items()}, step=step)
+            step += 1
+            if step % 50 == 0:
+                rate = imgs / (time.time() - t0)
+                log.info("epoch %d step %d loss %.4f (%.1f imgs/s)", epoch, step,
+                         float(metrics.get("loss", 0.0)), rate)
+            if step % config.eval_interval == 0:
+                best_val_loss = eval_and_save(
+                    model, val_dl, epoch, step, best_val_loss, config, run)
+        epoch += 1
+        logger.log({"epoch": epoch}, step=step)
+
+
+def eval_and_save(model, val_dl, epoch, step, best_val_loss, config, run):
+    """Validation + checkpointing (reference: train_ocr.py:72-116)."""
+    all_metrics = []
+    last_batch = None
+    for batch in prefetch_to_device(val_dl, size=2):
+        m = model.get_loss(batch["obss"], batch.get("masks"))
+        all_metrics.append({k: float(np.asarray(v).mean()) for k, v in m.items()})
+        last_batch = batch
+    metrics = {k: float(np.mean([m[k] for m in all_metrics]))
+               for k in all_metrics[0]} if all_metrics else {}
+    best = bool(metrics) and metrics.get("loss", np.inf) < best_val_loss
+    if best:
+        best_val_loss = metrics["loss"]
+    metrics["best_loss"] = best_val_loss
+    logger.log({f"val/{k}": v for k, v in metrics.items()}, step=step)
+    log.info("[Epoch %d, Step %d] %s", epoch, step,
+             " / ".join(f"val/{k} {v:.4f}" for k, v in metrics.items()))
+    if best and last_batch is not None:
+        samples = model.get_samples(last_batch["obss"][:config.num_visualization])
+        logger.log({k: [utils.Image(v_) for v_ in v] for k, v in samples.items()},
+                   step=step)
+    utils.save(model, run.dir, step=step, epoch=epoch,
+               best_val_loss=best_val_loss, best=best)
+    return best_val_loss
+
+
+if __name__ == "__main__":
+    main()
