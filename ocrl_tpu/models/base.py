@@ -91,9 +91,16 @@ class OCR:
         rngs = {"params": init_rng}
         for i, stream in enumerate(spec.rng_streams):
             rngs[stream] = jax.random.fold_in(init_rng, i + 1)
-        # init through `loss` so decoder-only parameters are created too
-        variables = spec.module.init(rngs, dummy, None, jnp.int32(0), False,
-                                     method="loss")
+        # init through `init_all` (every submodule) when available, else `loss`.
+        # jit the init: un-jitted flax init dispatches every op individually,
+        # which is pathological over a remote-device transport.
+        if hasattr(spec.module, "init_all"):
+            init_fn = jax.jit(partial(spec.module.init, method="init_all"))
+            variables = init_fn(rngs, dummy)
+        else:
+            init_fn = jax.jit(partial(spec.module.init, method="loss"),
+                              static_argnums=(4,))
+            variables = init_fn(rngs, dummy, None, jnp.int32(0), False)
         self.params = variables.get("params", {})
         if spec.optimizer is not None:
             self.tx = spec.optimizer
@@ -142,6 +149,13 @@ class OCR:
         self._train_step = jax.jit(train_step, donate_argnums=donate_args)
         self._eval_step = jax.jit(eval_step)
         self._forward = jax.jit(forward)
+        if hasattr(spec.module, "sample_arrays"):
+            self._sample_arrays = jax.jit(
+                lambda params, obs, rng: spec.module.apply(
+                    {"params": params}, obs, rngs=self._rngs_for(rng),
+                    method="sample_arrays"))
+        else:
+            self._sample_arrays = None
 
     def _next_rng(self):
         self._rng, rng = jax.random.split(self._rng)
@@ -166,6 +180,10 @@ class OCR:
         return metrics
 
     def get_samples(self, obs) -> dict:
+        if self._sample_arrays is not None:
+            arrays = self._sample_arrays(self.params, _as_f32(obs), self._next_rng())
+            arrays = jax.device_get(arrays)
+            return self.spec.module.samples_grid(*arrays)
         if not hasattr(self.spec.module, "samples"):
             return {}
         return self.spec.module.apply(

@@ -1,0 +1,95 @@
+"""Discrete VAE and spatial-broadcast decoder for SLATE / Slot-Attention
+(reference: ocrs/common/models.py:10-45, 96-141)."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import Conv2dBlock, PositionalEmbedding, conv2d, gumbel_softmax, pixel_shuffle
+
+
+class dVAE(nn.Module):
+    """Gumbel-softmax discrete VAE over a 4x-downsampled token grid
+    (reference: models.py:10-45)."""
+
+    vocab_size: int
+    img_channels: int
+
+    def setup(self):
+        self.encoder = nn.Sequential([
+            Conv2dBlock(64, 4, 4),
+            Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
+            Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
+            conv2d(self.vocab_size, 1),
+        ])
+        self.decoder_blocks = [
+            Conv2dBlock(64, 1),
+            Conv2dBlock(64, 3, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
+            Conv2dBlock(64 * 2 * 2, 1),          # -> pixel_shuffle(2)
+            Conv2dBlock(64, 3, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
+            Conv2dBlock(64 * 2 * 2, 1),          # -> pixel_shuffle(2)
+        ]
+        self.decoder_out = conv2d(self.img_channels, 1)
+
+    def __call__(self, obs, tau=1.0, hard=True):
+        """obs: [B,H,W,C] -> (z [B,h,w,vocab] one-hot-ish, z_logits)."""
+        z_logits = jax.nn.log_softmax(self.encoder(obs), axis=-1)
+        z = gumbel_softmax(self.make_rng("noise"), z_logits, tau, hard, axis=-1)
+        return z, z_logits
+
+    def decode(self, z):
+        x = z
+        for i, block in enumerate(self.decoder_blocks):
+            x = block(x)
+            if i in (4, 8):
+                x = pixel_shuffle(x, 2)
+        return self.decoder_out(x)
+
+
+class SlotAttnCNNEncoder(nn.Module):
+    """Full-resolution CNN feature extractor (reference: models.py:96-107)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, obs):
+        x = Conv2dBlock(self.hidden_size, 5, 1, 2)(obs)
+        x = Conv2dBlock(self.hidden_size, 5, 1, 2)(x)
+        x = Conv2dBlock(self.hidden_size, 5, 1, 2)(x)
+        return conv2d(self.hidden_size, 5, 1, 2)(x)
+
+
+class BroadCastDecoder(nn.Module):
+    """Spatial-broadcast decoder: per-slot RGB+alpha, softmax-composited
+    (reference: models.py:110-141)."""
+
+    obs_size: int
+    obs_channels: int
+    hidden_size: int
+    slot_size: int
+
+    def setup(self):
+        self.blocks = nn.Sequential([
+            Conv2dBlock(self.hidden_size, 5, 1, 2),
+            Conv2dBlock(self.hidden_size, 5, 1, 2),
+            Conv2dBlock(self.hidden_size, 5, 1, 2),
+            conv2d(self.obs_channels + 1, 3, 1, 1),
+        ])
+        self.pos_emb = PositionalEmbedding(self.obs_size, self.slot_size)
+
+    def __call__(self, slots, with_components=False):
+        """slots: [B,N,D] -> composited recon [B,H,W,C]
+        (+ per-slot rgb/masks when with_components)."""
+        B, N, D = slots.shape
+        H = W = self.obs_size
+        grid = jnp.broadcast_to(slots.reshape(B * N, 1, 1, D), (B * N, H, W, D))
+        out = self.blocks(self.pos_emb(grid))
+        img_slots = out[..., : self.obs_channels].reshape(B, N, H, W, self.obs_channels)
+        masks = out[..., -1:].reshape(B, N, H, W, 1)
+        masks = jax.nn.softmax(masks, axis=1)
+        recon = jnp.sum(img_slots * masks, axis=1)
+        if with_components:
+            return recon, img_slots, masks
+        return recon

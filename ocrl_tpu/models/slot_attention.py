@@ -1,0 +1,130 @@
+"""Slot Attention (reference: ocrs/common/slot_attn.py).
+
+The iterative routing loop runs under ``lax.scan`` (K/V projected once,
+iterations share weights), keeping the whole encoder a single fused XLA
+computation.  Softmax is taken jointly over heads x slots — the inverted
+"competition among slots" direction — then renormalised over inputs, exactly
+as the reference (slot_attn.py:75-87), which is the subtle part flagged in
+SURVEY.md §7 ("hard parts").
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import linear, xavier_uniform
+
+
+class SlotAttention(nn.Module):
+    """reference: slot_attn.py:9-102."""
+
+    num_iterations: int
+    num_slots: int
+    input_size: int
+    slot_size: int
+    mlp_hidden_size: int
+    num_heads: int
+    epsilon: float = 1e-8
+
+    def setup(self):
+        self.norm_inputs = nn.LayerNorm()
+        self.norm_slots = nn.LayerNorm()
+        self.norm_mlp = nn.LayerNorm()
+        self.project_q = linear(self.slot_size, bias=False)
+        self.project_k = linear(self.slot_size, bias=False)
+        self.project_v = linear(self.slot_size, bias=False)
+        # torch GRUCell init: xavier for input weights, orthogonal recurrent
+        # (reference: networks.py:67-74)
+        self.gru = nn.GRUCell(
+            features=self.slot_size,
+            kernel_init=xavier_uniform(),
+            recurrent_kernel_init=nn.initializers.orthogonal(),
+        )
+        self.mlp = nn.Sequential([
+            linear(self.mlp_hidden_size, weight_init="kaiming"),
+            nn.relu,
+            linear(self.slot_size),
+        ])
+
+    def __call__(self, inputs, slots):
+        """inputs: [B, N_kv, D_in]; slots: [B, N_q, D_slot] initial slots."""
+        B, N_kv, _ = inputs.shape
+        N_q, H = self.num_slots, self.num_heads
+        hd = self.slot_size // H
+
+        inputs = self.norm_inputs(inputs)
+        split = lambda x: x.reshape(B, N_kv, H, hd).transpose(0, 2, 1, 3)
+        k = split(self.project_k(inputs)) * hd ** -0.5  # [B,H,N_kv,hd]
+        v = split(self.project_v(inputs))
+
+        def iteration(mdl, slots, _):
+            slots_prev = slots
+            normed = mdl.norm_slots(slots)
+            q = mdl.project_q(normed).reshape(B, N_q, H, hd).transpose(0, 2, 1, 3)
+            # logits over (input, slot) per head
+            attn_logits = jnp.einsum("bhnd,bhsd->bhns", k, q)  # [B,H,N_kv,N_q]
+            # softmax jointly over heads*slots (competition among slots)
+            flat = attn_logits.transpose(0, 2, 1, 3).reshape(B, N_kv, H * N_q)
+            attn = jax.nn.softmax(flat, axis=-1).reshape(B, N_kv, H, N_q)
+            attn = attn.transpose(0, 2, 1, 3)  # [B,H,N_kv,N_q]
+            attn_vis = attn.sum(1)  # [B,N_kv,N_q]
+            # weighted mean over inputs
+            attn = attn + self.epsilon
+            attn = attn / jnp.sum(attn, axis=-2, keepdims=True)
+            updates = jnp.einsum("bhns,bhnd->bhsd", attn, v)
+            updates = updates.transpose(0, 2, 1, 3).reshape(B, N_q, self.slot_size)
+            # GRU update + residual MLP
+            _, slots = mdl.gru(slots_prev.reshape(-1, mdl.slot_size),
+                               updates.reshape(-1, mdl.slot_size))
+            slots = slots.reshape(B, N_q, mdl.slot_size)
+            slots = slots + mdl.mlp(mdl.norm_mlp(slots))
+            return slots, attn_vis
+
+        slots, attn_vis_seq = nn.scan(
+            iteration,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.num_iterations,
+        )(self, slots, None)
+        return slots, attn_vis_seq[-1]
+
+
+class SlotAttentionEncoder(nn.Module):
+    """Feature-map -> slots (reference: slot_attn.py:105-161).
+
+    Slot initialisation is sampled from a learned (mu, log_sigma) gaussian at
+    every call, train and eval alike, via the 'noise' rng stream.
+    """
+
+    num_iterations: int
+    num_slots: int
+    input_channels: int
+    slot_size: int
+    mlp_hidden_size: int
+    num_heads: int
+
+    def setup(self):
+        self.layer_norm = nn.LayerNorm()
+        self.mlp = nn.Sequential([
+            linear(self.input_channels, weight_init="kaiming"),
+            nn.relu,
+            linear(self.input_channels),
+        ])
+        self.slot_mu = self.param("slot_mu", xavier_uniform(),
+                                  (1, 1, self.slot_size))
+        self.slot_log_sigma = self.param("slot_log_sigma", xavier_uniform(),
+                                         (1, 1, self.slot_size))
+        self.slot_attention = SlotAttention(
+            self.num_iterations, self.num_slots, self.input_channels,
+            self.slot_size, self.mlp_hidden_size, self.num_heads)
+
+    def __call__(self, x):
+        """x: [B, N, input_channels] flattened feature map."""
+        B = x.shape[0]
+        x = self.mlp(self.layer_norm(x))
+        noise = jax.random.normal(self.make_rng("noise"),
+                                  (B, self.num_slots, self.slot_size), x.dtype)
+        slots = self.slot_mu + jnp.exp(self.slot_log_sigma) * noise
+        return self.slot_attention(x, slots)

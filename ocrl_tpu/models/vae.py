@@ -96,12 +96,15 @@ class VAE_Module(nn.Module):
         loss = mse + self._kld_weight * kld
         return loss, {"loss": loss, "mse": mse, "kld": -kld}
 
-    def samples(self, obs) -> dict:
+    def sample_arrays(self, obs):
         _, mu, log_var = self._encode(obs)
         eps = jax.random.normal(self.make_rng("noise"), mu.shape, mu.dtype)
         recon = self._decode(mu + eps * jnp.exp(0.5 * log_var))
-        return {"samples": np.concatenate(
-            [for_viz(jax.device_get(obs)), for_viz(jax.device_get(recon))], axis=-3)}
+        return obs, recon
+
+    @staticmethod
+    def samples_grid(obs, recon) -> dict:
+        return {"samples": np.concatenate([for_viz(obs), for_viz(recon)], axis=-3)}
 
 
 def dims(ocr_config, env_config) -> tuple[int, int]:

@@ -1,0 +1,172 @@
+"""SLATE correctness tests (tiny shapes; single shared model per mode)."""
+
+import numpy as np
+import pytest
+
+from ocrl_tpu.config import compose
+from ocrl_tpu.models import create_ocr
+
+TINY = [
+    "ocr=slate", "dataset=random-N5C4S4S2", "dataset.obs_size=16",
+    "ocr.dvae.vocab_size=64", "ocr.dvae.d_model=32", "ocr.cnn.hidden_size=16",
+    "ocr.slotattr.num_slots=3", "ocr.slotattr.slot_size=32",
+    "ocr.slotattr.mlp_hidden_size=32", "ocr.tfdec.num_dec_blocks=2",
+    "ocr.tfdec.num_dec_heads=2",
+]
+
+OBS = np.random.default_rng(0).random((2, 16, 16, 3)).astype("float32")
+
+
+@pytest.fixture(scope="module")
+def slate():
+    cfg = compose("train_ocr", TINY)
+    return create_ocr(cfg.ocr, cfg.dataset, seed=0)
+
+
+@pytest.fixture(scope="module")
+def slotattn_model():
+    cfg = compose("train_ocr", TINY + ["ocr.use_bcdec=True"])
+    return create_ocr(cfg.ocr, cfg.dataset, seed=0)
+
+
+def test_slate_shapes_and_training(slate):
+    rep = slate(OBS)
+    assert rep.shape == (2, 3, 32)
+    m0 = slate.update(OBS, None, 0)
+    assert np.isfinite(float(m0["loss"]))
+    assert {"loss", "dvae_mse", "cross_entropy", "tau", "norm"} <= set(m0)
+    assert float(m0["tau"]) == pytest.approx(1.0)
+    # tau anneals, lr warms up
+    m = slate.update(OBS, None, 15000)
+    assert float(m["tau"]) < 1.0
+    assert float(m["lr_enc"]) > float(m0["lr_enc"])
+
+
+def test_slate_gen_consistency(slate):
+    """KV-cached greedy decode must agree with the teacher-forced transformer
+    re-run on its own output (exactness of the cache path)."""
+    import jax
+    import jax.numpy as jnp
+
+    module, params = slate.spec.module, slate.params
+    rngs = {"noise": jax.random.PRNGKey(1), "noise2": jax.random.PRNGKey(2)}
+    slots, _ = module.apply({"params": params}, OBS, method="get_slots", rngs=rngs)
+    tokens = module.apply({"params": params}, slots, method="gen_tokens")
+    assert tokens.shape == (2, 16)
+
+    def teacher_check(mdl, slots, tokens):
+        B, T = tokens.shape
+        z_emb = mdl.dictionary(tokens)
+        z_emb = jnp.concatenate(
+            [jnp.broadcast_to(mdl.bos, (B, 1, z_emb.shape[-1])), z_emb], axis=1)
+        z_emb = mdl.z_pos(z_emb, deterministic=True)
+        decoded = mdl.tfdec(z_emb[:, :-1], mdl.slotproj(slots), deterministic=True)
+        return jnp.argmax(mdl.out(decoded), axis=-1)
+
+    pred = module.apply({"params": params}, slots, tokens, method=teacher_check)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(tokens))
+
+
+def test_slate_ari_with_masks(slate):
+    # fabricate masks: 5 object channels + background, partitioning the image
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 6, size=(2, 16 * 16))
+    masks = np.eye(6)[ids].transpose(0, 2, 1).reshape(2, 6, 16, 16, 1)
+    m = slate.get_loss(OBS, masks.astype("float32"))
+    assert "ari" in m and -0.5 <= float(m["ari"]) <= 1.0
+
+
+def test_slotattention_bcdec_mode(slotattn_model):
+    m0 = slotattn_model.update(OBS, None, 0)
+    assert set(m0) == {"loss", "mse", "norm"}
+    losses = [float(m0["loss"])]
+    for step in range(1, 15):
+        losses.append(float(slotattn_model.update(OBS, None, step)["loss"]))
+    assert losses[-1] < losses[0]  # broadcast decoder learns the fixed batch
+    s = slotattn_model.get_samples(OBS)
+    assert s["samples"].shape == (2, 16, 16 * 5, 3)  # obs, recon, 3 slot attns
+
+
+def test_slot_attention_matches_reference_math():
+    """Golden-value test: one slot-attention iteration vs a straight numpy
+    transcription of the reference equations (slot_attn.py:64-101)."""
+    import jax
+    from ocrl_tpu.models.slot_attention import SlotAttention
+
+    B, N_kv, N_q, D = 2, 7, 3, 8
+    heads = 2
+    rng = np.random.default_rng(5)
+    inputs = rng.standard_normal((B, N_kv, D)).astype("float32")
+    slots0 = rng.standard_normal((B, N_q, D)).astype("float32")
+
+    sa = SlotAttention(num_iterations=1, num_slots=N_q, input_size=D,
+                       slot_size=D, mlp_hidden_size=D, num_heads=heads)
+    params = sa.init(jax.random.PRNGKey(0), inputs, slots0)["params"]
+    out_slots, attn_vis = sa.apply({"params": params}, inputs, slots0)
+
+    # ---- numpy re-derivation of one iteration ----
+    def ln(x, scale, bias):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-6) * scale + bias
+
+    p = jax.tree.map(np.asarray, params)
+    x = ln(inputs, p["norm_inputs"]["scale"], p["norm_inputs"]["bias"])
+    hd = D // heads
+    k = (x @ p["project_k"]["kernel"]).reshape(B, N_kv, heads, hd).transpose(0, 2, 1, 3)
+    k = k * hd ** -0.5
+    v = (x @ p["project_v"]["kernel"]).reshape(B, N_kv, heads, hd).transpose(0, 2, 1, 3)
+
+    s_norm = ln(slots0, p["norm_slots"]["scale"], p["norm_slots"]["bias"])
+    q = (s_norm @ p["project_q"]["kernel"]).reshape(B, N_q, heads, hd).transpose(0, 2, 1, 3)
+    logits = np.einsum("bhnd,bhsd->bhns", k, q)
+    flat = logits.transpose(0, 2, 1, 3).reshape(B, N_kv, heads * N_q)
+    e = np.exp(flat - flat.max(-1, keepdims=True))
+    attn = (e / e.sum(-1, keepdims=True)).reshape(B, N_kv, heads, N_q).transpose(0, 2, 1, 3)
+    expected_vis = attn.sum(1)
+    attn = attn + 1e-8
+    attn = attn / attn.sum(-2, keepdims=True)
+    updates = np.einsum("bhns,bhnd->bhsd", attn, v).transpose(0, 2, 1, 3).reshape(B, N_q, D)
+
+    # GRU (torch semantics), flax stores kernels as [in, 3*feat] (r|z|n)
+    gp = p["gru"]
+    x_in = updates.reshape(-1, D)
+    h = slots0.reshape(-1, D)
+
+    def dense(px, x):
+        return x @ px["kernel"] + px.get("bias", 0.0)
+
+    r = 1 / (1 + np.exp(-(dense(gp["ir"], x_in) + dense(gp["hr"], h))))
+    z = 1 / (1 + np.exp(-(dense(gp["iz"], x_in) + dense(gp["hz"], h))))
+    n = np.tanh(dense(gp["in"], x_in) + r * dense(gp["hn"], h))
+    h_new = (1 - z) * n + z * h
+    slots = h_new.reshape(B, N_q, D)
+    s2 = ln(slots, p["norm_mlp"]["scale"], p["norm_mlp"]["bias"])
+    mlp = p["mlp"]["layers_0"]["kernel"], p["mlp"]["layers_0"]["bias"], \
+        p["mlp"]["layers_2"]["kernel"], p["mlp"]["layers_2"]["bias"]
+    hmid = np.maximum(s2 @ mlp[0] + mlp[1], 0.0)
+    expected_slots = slots + (hmid @ mlp[2] + mlp[3])
+
+    # atol covers flax LayerNorm fast-variance precision; a wrong softmax
+    # direction would diverge at O(1)
+    np.testing.assert_allclose(np.asarray(attn_vis), expected_vis, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_slots), expected_slots, atol=2e-2)
+
+
+def test_gumbel_softmax_straight_through():
+    import jax
+    import jax.numpy as jnp
+    from ocrl_tpu.models.common import gumbel_softmax
+
+    logits = jnp.array([[2.0, 0.0, -1.0]])
+    hard = gumbel_softmax(jax.random.PRNGKey(0), logits, tau=1.0, hard=True)
+    row = np.asarray(hard)[0]
+    assert set(np.round(row, 5)) <= {0.0, 1.0} and row.sum() == 1.0
+
+    # straight-through: gradient w.r.t. logits equals soft-sample gradient
+    def f(lg):
+        return jnp.sum(gumbel_softmax(jax.random.PRNGKey(0), lg, 1.0, True) *
+                       jnp.array([[1.0, 2.0, 3.0]]))
+
+    g = jax.grad(f)(logits)
+    assert np.all(np.isfinite(np.asarray(g))) and np.abs(np.asarray(g)).sum() > 0

@@ -50,7 +50,7 @@ def main(config):
             imgs += batch["obss"].shape[0]
             logger.log({f"train/{k}": v for k, v in metrics.items()}, step=step)
             step += 1
-            if step % 50 == 0:
+            if step % 50 == 0 or step < 3:
                 rate = imgs / (time.time() - t0)
                 log.info("epoch %d step %d loss %.4f (%.1f imgs/s)", epoch, step,
                          float(metrics.get("loss", 0.0)), rate)
