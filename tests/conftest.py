@@ -1,12 +1,19 @@
-"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+"""Test configuration.
 
-Multi-device sharding is validated without TPUs, per the strategy in
-SURVEY.md §4 (XLA_FLAGS=--xla_force_host_platform_device_count=8).
-This must run before the first `import jax` anywhere in the test session.
+Intent: run tests on a virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, SURVEY.md §4).
+
+Caveat for this machine: the axon sitecustomize imports jax at interpreter
+boot and pins the TPU backend, so in-process env vars cannot switch the
+platform.  Use scripts/run_tests_cpu.sh to get the scrubbed-env CPU run;
+under the default env the suite runs on the single TPU chip and
+device-count-dependent tests skip themselves.
 """
 
 import os
 
+# Effective only when the interpreter was started without the axon
+# sitecustomize (e.g. scripts/run_tests_cpu.sh) or on machines without it.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
