@@ -1,0 +1,112 @@
+"""RL stack tests: policy, PPO/A2C learning loop, eval, checkpoints."""
+
+import numpy as np
+import pytest
+
+from ocrl_tpu.config import compose
+import ocrl_tpu.envs as envs
+from ocrl_tpu.rl import (
+    A2C, A2CConfig, PPO, PPOConfig, build_policy, evaluate_policy,
+    inject_pretrained_ocr, make_vec_env)
+
+
+def gt_config(*over):
+    return compose("train_sb3", [
+        "ocr=gt", "pooling=mlp", "sb3=ppo", "sb3_acnet=mlp",
+        "env=target-N4C4S3S1", "env.render_mode='state'", *over])
+
+
+@pytest.fixture(scope="module")
+def ppo_setup():
+    cfg = gt_config()
+    vec_env = make_vec_env(envs.TargetEnv, cfg.env, 2, seed=0)
+    policy, ocr, freeze, pretrained = build_policy(cfg, seed=0)
+    algo = PPO(policy, vec_env.observation_space.shape, False, 2,
+               PPOConfig(n_steps=32, batch_size=8, n_epochs=2), seed=0,
+               freeze_ocr=freeze)
+    return cfg, vec_env, algo
+
+
+def test_ppo_learns_and_updates(ppo_setup):
+    cfg, vec_env, algo = ppo_setup
+    import jax
+
+    params_before = jax.tree.map(np.asarray, algo.params)
+    algo.learn(vec_env, total_timesteps=64)
+    assert algo.num_timesteps >= 64
+    changed = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
+        algo.params, params_before))
+    assert sum(changed) > 0  # parameters moved
+
+
+def test_ppo_predict_and_eval(ppo_setup):
+    cfg, vec_env, algo = ppo_setup
+    env = envs.TargetEnv(cfg.env, seed=9)
+    obs = env.reset()
+    action = algo.predict(obs)
+    assert int(action) in (0, 1, 2, 3)
+    metrics = evaluate_policy(algo, env, n_episodes=2)
+    assert {"success_rate", "mean_reward", "mean_ep_length"} == set(metrics)
+
+
+def test_ppo_checkpoint_roundtrip(ppo_setup, tmp_path):
+    cfg, vec_env, algo = ppo_setup
+    from ocrl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    save_checkpoint(tmp_path / "agent.ckpt", algo.save(), {"num_timesteps": 1})
+    policy, ocr, freeze, _ = build_policy(cfg, seed=1)
+    algo2 = PPO(policy, vec_env.observation_space.shape, False, 2,
+                PPOConfig(n_steps=32, batch_size=8, n_epochs=1), seed=1)
+    tree, _ = load_checkpoint(tmp_path / "agent.ckpt", algo2.save())
+    algo2.load(tree)
+    obs = np.random.default_rng(0).random((3, 5, 5)).astype("float32")
+    a1 = algo.predict(obs, deterministic=True)
+    a2 = algo2.predict(obs, deterministic=True)
+    np.testing.assert_array_equal(a1, a2)
+
+
+def test_a2c_runs():
+    cfg = gt_config("sb3=a2c")
+    vec_env = make_vec_env(envs.TargetEnv, cfg.env, 2, seed=0)
+    policy, ocr, freeze, _ = build_policy(cfg, seed=0)
+    algo = A2C(policy, vec_env.observation_space.shape, False, 2,
+               A2CConfig(n_steps=8), seed=0)
+    algo.learn(vec_env, total_timesteps=32)
+    assert algo.num_timesteps >= 32
+
+
+def test_frozen_ocr_not_updated(tmp_path):
+    """Pretrained OCR params must stay fixed during PPO (reference semantics:
+    get_ocr keeps the wrapper un-registered -> frozen, tools.py:323-347)."""
+    import jax
+    from ocrl_tpu import utils
+    from ocrl_tpu.models import create_ocr
+
+    ocr_cfg = compose("train_ocr", ["ocr=vae", "dataset=random-N5C4S4S2",
+                                    "dataset.obs_size=16"])
+    pre = create_ocr(ocr_cfg.ocr, ocr_cfg.dataset, seed=0)
+    utils.save(pre, tmp_path, step=1, best=True)
+
+    cfg = compose("train_sb3", [
+        "ocr=vae", "pooling=mlp", "sb3=ppo", "sb3_acnet=mlp",
+        "env=target-N4C4S3S1", "env.obs_size=16",
+        f"pooling.ocr_checkpoint.local_file={tmp_path}/checkpoints/model_best.ckpt"])
+    vec_env = make_vec_env(envs.TargetEnv, cfg.env, 2, seed=0)
+    policy, ocr, freeze, pretrained = build_policy(cfg, seed=0)
+    assert freeze and pretrained
+    algo = PPO(policy, vec_env.observation_space.shape, True, 2,
+               PPOConfig(n_steps=16, batch_size=8, n_epochs=1), seed=0,
+               freeze_ocr=True)
+    inject_pretrained_ocr(algo, ocr)
+    ocr_before = jax.tree.map(np.asarray, algo.params["ocr_module"])
+    pool_before = jax.tree.map(np.asarray, algo.params["pooling_module"])
+    algo.learn(vec_env, total_timesteps=32)
+    ocr_diff = sum(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
+        algo.params["ocr_module"], ocr_before)))
+    pool_diff = sum(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
+        algo.params["pooling_module"], pool_before)))
+    assert ocr_diff == 0.0     # frozen
+    assert pool_diff > 0.0     # pooling trains

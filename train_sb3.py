@@ -1,0 +1,109 @@
+"""RL training entry point (reference: train_sb3.py).
+
+    python train_sb3.py ocr=slate pooling=transformer sb3=ppo sb3_acnet=mlp \
+        env=target-N4C4S3S1 pooling.ocr_checkpoint.local_file=<ckpt>
+
+Same Hydra-style surface; stable-baselines3 is replaced by the in-repo JAX
+PPO/A2C whose policy (OCR -> pooling -> AC heads) is a single jitted module.
+"""
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+import ocrl_tpu.envs as envs
+from ocrl_tpu import config as cfglib
+from ocrl_tpu import utils
+from ocrl_tpu.rl import (
+    A2C, A2CConfig, PPO, PPOConfig, VideoRecorder, build_policy,
+    evaluate_policy, inject_pretrained_ocr, make_vec_env)
+from ocrl_tpu.utils import get_log_prefix, init_wandb, logger
+from ocrl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+log = logging.getLogger(__name__)
+
+
+@cfglib.main("train_sb3")
+def main(config):
+    logging.basicConfig(level=logging.INFO)
+    log_name = get_log_prefix(config) + (
+        f"-{config.sb3.name}-{config.sb3_acnet.name}-"
+        f"{config.env.name}{config.env.mode}mode{config.env.rew_type}rewardtype-"
+        f"Seed{config.seed}")
+    tags = config.tags.split(",") + config.env.tags.split(",") + \
+        [f"RandomSeed{config.seed}"]
+    run = init_wandb(config, "TrainSB3-" + log_name, tags=tags)
+
+    # GT trains on ground-truth state observations (reference: train_sb3.py:41-43)
+    if config.ocr.name == "GT":
+        config.env.render_mode = "state"
+
+    env_ctor = getattr(envs, config.env.env)
+    vec_env = make_vec_env(env_ctor, config.env, config.num_envs, seed=config.seed)
+    eval_env = env_ctor(config.env, seed=config.seed + config.num_envs)
+    is_image_obs = config.env.render_mode != "state"
+
+    policy, ocr, freeze, pretrained = build_policy(config, seed=config.seed)
+    obs_shape = vec_env.observation_space.shape
+
+    if config.sb3.name == "PPO":
+        algo = PPO(policy, obs_shape, is_image_obs, config.num_envs,
+                   PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
+                   seed=config.seed, freeze_ocr=freeze)
+    elif config.sb3.name == "A2C":
+        algo = A2C(policy, obs_shape, is_image_obs, config.num_envs,
+                   A2CConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
+                   seed=config.seed, freeze_ocr=freeze)
+    elif config.sb3.name == "SAC":
+        raise NotImplementedError(
+            "SAC targets the continuous-action CausalWorld tasks "
+            "(reference: configs/sb3/sac.yaml) which require the external "
+            "causal_world simulator; the synthetic benchmark suite is PPO/A2C.")
+    else:
+        raise ValueError(f"Unknown algo '{config.sb3.name}'")
+
+    if pretrained:
+        inject_pretrained_ocr(algo, ocr)
+
+    video = VideoRecorder(Path(run.dir) / "videos",
+                          config.video.interval, config.video.length)
+    models_dir = Path(run.dir) / "models"
+    models_dir.mkdir(parents=True, exist_ok=True)
+    state = {"best_success": -1.0, "vec_steps": 0}
+
+    def step_callback(algo):
+        state["vec_steps"] += 1
+        video.maybe_record(vec_env, algo.num_timesteps)
+        if state["vec_steps"] % config.eval.freq == 0:
+            metrics = evaluate_policy(algo, eval_env,
+                                      n_episodes=config.eval.n_episodes)
+            logger.log({f"eval/{k}": v for k, v in metrics.items()},
+                       step=algo.num_timesteps)
+            log.info("[%d steps] eval success %.3f reward %.3f",
+                     algo.num_timesteps, metrics["success_rate"],
+                     metrics["mean_reward"])
+            if metrics["success_rate"] >= state["best_success"]:
+                state["best_success"] = metrics["success_rate"]
+                save_checkpoint(models_dir / "best_model.ckpt", algo.save(),
+                                {"num_timesteps": algo.num_timesteps,
+                                 "success_rate": metrics["success_rate"]})
+
+    def iteration_callback(algo, metrics, ep_infos):
+        payload = {f"train/{k}": v for k, v in metrics.items()}
+        if ep_infos:
+            payload["rollout/success_rate"] = float(
+                np.mean([i["is_success"] for i in ep_infos]))
+        logger.log(payload, step=algo.num_timesteps)
+        save_checkpoint(models_dir / "latest_model.ckpt", algo.save(),
+                        {"num_timesteps": algo.num_timesteps})
+
+    algo.learn(vec_env, int(float(config.max_steps)),
+               iteration_callback=iteration_callback,
+               step_callback=step_callback)
+    video.close()
+    vec_env.close()
+
+
+if __name__ == "__main__":
+    main()
