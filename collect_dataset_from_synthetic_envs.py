@@ -33,6 +33,7 @@ def main(config):
         chunk_size=int(c.chunk_size),
         with_masks=bool(c.get("with_masks", False)),
         with_labels=bool(c.get("with_labels", False)),
+        with_states=bool(c.get("with_states", False)),
         out_file=c.get("out_file"),
         out_dir=c.get("out_dir", "datasets"),
     )

@@ -32,7 +32,8 @@ def canonical_filename(env_cfg, num_tr: int, num_val: int, seed: int) -> str:
 
 
 def _collect_worker(args):
-    (env_name, env_cfg_dict, seed, count, only_initial, with_masks, with_labels) = args
+    (env_name, env_cfg_dict, seed, count, only_initial, with_masks, with_labels,
+     with_states) = args
     from ocrl_tpu.config.node import from_dict
     import ocrl_tpu.envs as envs
 
@@ -43,6 +44,10 @@ def _collect_worker(args):
     num_objs = np.empty((count,), dtype=np.int64)
     masks = None
     labels = np.empty((count,), dtype=np.int64) if with_labels else None
+    objs = None
+    if with_states:
+        objs = np.empty((count, env_cfg.num_objects_range[1], env_cfg.state_size),
+                        dtype=np.float32)
     i = 0
     obs = env.reset()
     while i < count:
@@ -61,19 +66,26 @@ def _collect_worker(args):
             masks[i] = m.astype(np.uint8)
         if with_labels:
             labels[i] = env._target_obj_idx
+        if with_states:
+            # per-object GT rows (objects only, zero-padded; agent row dropped)
+            state = env.render("state", fill_empty=True)
+            objs[i] = state[: env_cfg.num_objects_range[1]]
         i += 1
     out = {"obss": obss, "num_objs": num_objs}
     if masks is not None:
         out["masks"] = masks
     if labels is not None:
         out["labels"] = labels
+    if objs is not None:
+        out["objs"] = objs
     return out
 
 
 def collect_dataset(env_cfg, num_tr: int, num_val: int, num_proc: int = 1,
                     only_initial: bool = True, seed: int = 0,
                     chunk_size: int = 100000, with_masks: bool = False,
-                    with_labels: bool = False, out_file: str | Path | None = None,
+                    with_labels: bool = False, with_states: bool = False,
+                    out_file: str | Path | None = None,
                     out_dir: str | Path = "datasets") -> Path:
     """Collect observations and write the HDF5 dataset; returns the file path."""
     out_dir = Path(out_dir)
@@ -95,7 +107,7 @@ def collect_dataset(env_cfg, num_tr: int, num_val: int, num_proc: int = 1,
                 per = [n // num_proc + (1 if r < n % num_proc else 0)
                        for r in range(num_proc)]
                 jobs = [(env_cfg.env, env_cfg_dict, seed0 + written + r, c,
-                         only_initial, with_masks, with_labels)
+                         only_initial, with_masks, with_labels, with_states)
                         for r, c in enumerate(per) if c > 0]
                 if num_proc > 1 and len(jobs) > 1:
                     with mp.get_context("fork").Pool(len(jobs)) as pool:
