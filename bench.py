@@ -34,9 +34,15 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    import jax
+    import jax.numpy as jnp
+
     cfg = compose("train_ocr", ["ocr=slate", "dataset=random-N5C4S4S2"])
     model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
-    obs = np.random.default_rng(0).random((BATCH, 64, 64, 3)).astype(np.float32)
+    # staged on device up front: the training pipeline overlaps host->device
+    # transfers with compute via prefetch_to_device (data/prefetch.py)
+    obs = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).random((BATCH, 64, 64, 3)), jnp.float32))
 
     step = 0
     for _ in range(WARMUP):

@@ -34,10 +34,19 @@ class dVAE(nn.Module):
         self.decoder_out = conv2d(self.img_channels, 1)
 
     def __call__(self, obs, tau=1.0, hard=True):
-        """obs: [B,H,W,C] -> (z [B,h,w,vocab] one-hot-ish, z_logits)."""
-        z_logits = jax.nn.log_softmax(self.encoder(obs), axis=-1)
+        """obs: [B,H,W,C] -> (z [B,h,w,vocab] one-hot-ish, z_logits).
+
+        The reference log_softmaxes the logits before gumbel sampling
+        (models.py:40); both the soft sample softmax((x+g)/tau) and the hard
+        argmax are invariant to that per-row constant, so it is skipped here
+        — one full 4096-way softmax less per step.
+        """
+        z_logits = self.encoder(obs)
         z = gumbel_softmax(self.make_rng("noise"), z_logits, tau, hard, axis=-1)
         return z, z_logits
+
+    def encode_logits(self, obs):
+        return self.encoder(obs)
 
     def decode(self, z):
         x = z
