@@ -140,6 +140,34 @@ def log_prob_gaussian(value, mean, std):
 
 # -- misc ------------------------------------------------------------------------
 
+class FusedGRUCell(nn.Module):
+    """GRU cell as two fused matmuls (r|z|n gate blocks), torch semantics.
+
+    flax's nn.GRUCell issues six separate small Dense ops; at slot-attention
+    shapes ([B*slots, 192]) kernel-launch overhead dominates, so the gates are
+    computed from single [D, 3D] input/recurrent kernels instead.  Init
+    matches the reference (networks.py:67-74): xavier-uniform input weights,
+    orthogonal recurrent weights, zero biases (both torch bias vectors kept).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        D = self.features
+        wi = self.param("wi", xavier_uniform(), (x.shape[-1], 3 * D))
+        wh = self.param("wh", nn.initializers.orthogonal(), (D, 3 * D))
+        bi = self.param("bi", nn.initializers.zeros, (3 * D,))
+        bh = self.param("bh", nn.initializers.zeros, (3 * D,))
+        zi = x @ wi + bi
+        zh = h @ wh + bh
+        r = jax.nn.sigmoid(zi[..., :D] + zh[..., :D])
+        z = jax.nn.sigmoid(zi[..., D:2 * D] + zh[..., D:2 * D])
+        n = jnp.tanh(zi[..., 2 * D:] + r * zh[..., 2 * D:])
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+
 class MLP(nn.Module):
     """Config-driven MLP with per-layer activations (reference pattern in
     sb3s/custom_acnets.py:36-48, ocrs/gt/gt_module.py:14-21)."""

@@ -40,9 +40,20 @@ class dVAE(nn.Module):
         (models.py:40); both the soft sample softmax((x+g)/tau) and the hard
         argmax are invariant to that per-row constant, so it is skipped here
         — one full 4096-way softmax less per step.
+
+        The soft sample runs as a fused Pallas kernel with on-chip PRNG on
+        TPU (ocrl_tpu/ops/gumbel.py).
         """
         z_logits = self.encoder(obs)
-        z = gumbel_softmax(self.make_rng("noise"), z_logits, tau, hard, axis=-1)
+        if hard:
+            z = gumbel_softmax(self.make_rng("noise"), z_logits, tau, True, axis=-1)
+        else:
+            from ..ops import gumbel_softmax_sample
+
+            B, H, W, V = z_logits.shape
+            z = gumbel_softmax_sample(
+                z_logits.reshape(-1, V), self.make_rng("noise"), tau
+            ).reshape(B, H, W, V)
         return z, z_logits
 
     def encode_logits(self, obs):

@@ -183,12 +183,12 @@ class SLATE_Module(nn.Module):
     def _gumbel_argmax_ids(self, z_logits, rng):
         """Hard gumbel sample as token ids: argmax(logits + g) — equivalent to
         the reference's one_hot(argmax(softmax((logits+g)/tau))) since softmax
-        and the temperature are monotone per row (slate_module.py:123-128)."""
-        eps = jnp.finfo(z_logits.dtype).tiny
-        g = -jnp.log(jax.random.exponential(rng, z_logits.shape,
-                                            z_logits.dtype) + eps)
-        B = z_logits.shape[0]
-        return jnp.argmax(z_logits + g, axis=-1).reshape(B, -1)
+        and the temperature are monotone per row (slate_module.py:123-128).
+        Fused Pallas kernel with on-chip PRNG on TPU (ops/gumbel.py)."""
+        from ..ops import gumbel_argmax_ids
+
+        B, H, W, V = z_logits.shape
+        return gumbel_argmax_ids(z_logits.reshape(-1, V), rng).reshape(B, -1)
 
     def loss(self, obs, masks=None, step=0, train=False):
         ocr = self.ocr_config

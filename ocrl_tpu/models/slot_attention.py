@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .common import linear, xavier_uniform
+from .common import FusedGRUCell, linear, xavier_uniform
 
 
 class SlotAttention(nn.Module):
@@ -35,13 +35,7 @@ class SlotAttention(nn.Module):
         self.project_q = linear(self.slot_size, bias=False)
         self.project_k = linear(self.slot_size, bias=False)
         self.project_v = linear(self.slot_size, bias=False)
-        # torch GRUCell init: xavier for input weights, orthogonal recurrent
-        # (reference: networks.py:67-74)
-        self.gru = nn.GRUCell(
-            features=self.slot_size,
-            kernel_init=xavier_uniform(),
-            recurrent_kernel_init=nn.initializers.orthogonal(),
-        )
+        self.gru = FusedGRUCell(self.slot_size)
         self.mlp = nn.Sequential([
             linear(self.mlp_hidden_size, weight_init="kaiming"),
             nn.relu,
@@ -59,7 +53,7 @@ class SlotAttention(nn.Module):
         k = split(self.project_k(inputs)) * hd ** -0.5  # [B,H,N_kv,hd]
         v = split(self.project_v(inputs))
 
-        def iteration(mdl, slots, _):
+        def iteration(mdl, slots):
             slots_prev = slots
             normed = mdl.norm_slots(slots)
             q = mdl.project_q(normed).reshape(B, N_q, H, hd).transpose(0, 2, 1, 3)
@@ -82,13 +76,13 @@ class SlotAttention(nn.Module):
             slots = slots + mdl.mlp(mdl.norm_mlp(slots))
             return slots, attn_vis
 
-        slots, attn_vis_seq = nn.scan(
-            iteration,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            length=self.num_iterations,
-        )(self, slots, None)
-        return slots, attn_vis_seq[-1]
+        # Unrolled Python loop: num_iterations is tiny and static (3), and a
+        # lifted nn.scan here compiled ~40x slower at runtime (the scan
+        # boundary blocks XLA fusion of the routing with its neighbours).
+        attn_vis = None
+        for _ in range(self.num_iterations):
+            slots, attn_vis = iteration(self, slots)
+        return slots, attn_vis
 
 
 class SlotAttentionEncoder(nn.Module):

@@ -128,17 +128,15 @@ def test_slot_attention_matches_reference_math():
     attn = attn / attn.sum(-2, keepdims=True)
     updates = np.einsum("bhns,bhnd->bhsd", attn, v).transpose(0, 2, 1, 3).reshape(B, N_q, D)
 
-    # GRU (torch semantics), flax stores kernels as [in, 3*feat] (r|z|n)
+    # FusedGRUCell (torch semantics), kernels [in, 3*feat] with r|z|n blocks
     gp = p["gru"]
     x_in = updates.reshape(-1, D)
     h = slots0.reshape(-1, D)
-
-    def dense(px, x):
-        return x @ px["kernel"] + px.get("bias", 0.0)
-
-    r = 1 / (1 + np.exp(-(dense(gp["ir"], x_in) + dense(gp["hr"], h))))
-    z = 1 / (1 + np.exp(-(dense(gp["iz"], x_in) + dense(gp["hz"], h))))
-    n = np.tanh(dense(gp["in"], x_in) + r * dense(gp["hn"], h))
+    zi = x_in @ gp["wi"] + gp["bi"]
+    zh = h @ gp["wh"] + gp["bh"]
+    r = 1 / (1 + np.exp(-(zi[:, :D] + zh[:, :D])))
+    z = 1 / (1 + np.exp(-(zi[:, D:2 * D] + zh[:, D:2 * D])))
+    n = np.tanh(zi[:, 2 * D:] + r * zh[:, 2 * D:])
     h_new = (1 - z) * n + z * h
     slots = h_new.reshape(B, N_q, D)
     s2 = ln(slots, p["norm_mlp"]["scale"], p["norm_mlp"]["bias"])
