@@ -71,19 +71,58 @@ _VERTEX_CACHE: dict[str, np.ndarray] = {}
 
 
 class SpriteRenderer:
-    """Renders sprites onto an `image_size` canvas with supersampled AA."""
+    """Renders sprites onto an `image_size` canvas with supersampled AA.
+
+    Uses the native C++ scanline rasterizer (ocrl_tpu/native) when available
+    (~25x faster than PIL — rendering dominates dataset collection); set
+    ``use_native=False`` to force the PIL path.
+    """
 
     def __init__(self, image_size: tuple[int, int] = (64, 64), anti_aliasing: int = 10,
-                 bg_color: tuple[int, int, int] = (0, 0, 0)):
+                 bg_color: tuple[int, int, int] = (0, 0, 0),
+                 use_native: bool = True):
         self._size = image_size
         self._aa = anti_aliasing
         self._bg_color = bg_color
         self._canvas_bg: Optional[Image.Image] = None  # optional background image
+        if use_native:
+            from ocrl_tpu import native
+
+            self._native = native if native.available() else None
+        else:
+            self._native = None
 
     def set_background(self, img: Optional[Image.Image]) -> None:
         self._canvas_bg = img
+        self._bg_array = None
+        if img is not None:
+            self._bg_array = np.asarray(
+                img.resize(self._size).convert("RGB"), np.uint8)
+
+    def _render_native(self, sprites: Sequence[Sprite]) -> np.ndarray:
+        W, H = self._size
+        ss_w, ss_h = W * self._aa, H * self._aa
+        polys, colors = [], []
+        for sprite in sprites:
+            verts = _VERTEX_CACHE.get(sprite.shape)
+            if verts is None:
+                verts = shape_vertices(sprite.shape)
+                _VERTEX_CACHE[sprite.shape] = verts
+            r = sprite.scale / 2.0
+            xs = (sprite.x + r * verts[:, 0]) * ss_w
+            ys = (1.0 - (sprite.y + r * verts[:, 1])) * ss_h
+            polys.append(np.stack([xs, ys], axis=1))
+            colors.append(sprite.rgb)
+        colors = np.asarray(colors, np.uint8).reshape(-1, 3)
+        bg = getattr(self, "_bg_array", None) if self._canvas_bg is not None else None
+        return self._native.render_polygons(W, H, self._aa, polys, colors, bg)
 
     def render(self, sprites: Sequence[Sprite]) -> np.ndarray:
+        if self._native is not None:
+            return self._render_native(sprites)
+        return self._render_pil(sprites)
+
+    def _render_pil(self, sprites: Sequence[Sprite]) -> np.ndarray:
         W, H = self._size
         ss_w, ss_h = W * self._aa, H * self._aa
         if self._canvas_bg is not None:

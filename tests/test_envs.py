@@ -149,3 +149,22 @@ def test_renderer_shapes():
         img = r.render([Sprite(0.5, 0.5, shape, 0.3, (255, 0, 0))])
         assert img.shape == (64, 64, 3)
         assert img[:, :, 0].sum() > 0, shape
+
+
+def test_native_rasterizer_matches_pil():
+    from ocrl_tpu import native
+    from ocrl_tpu.envs.renderer import SpriteRenderer, Sprite
+
+    if not native.available():
+        import pytest
+        pytest.skip("native rasterizer unavailable (no g++)")
+    sprites = [Sprite(0.3, 0.3, "square", 0.3, (255, 0, 0)),
+               Sprite(0.7, 0.6, "triangle", 0.25, (0, 255, 0)),
+               Sprite(0.5, 0.8, "star_5", 0.2, (0, 0, 255))]
+    a = SpriteRenderer((64, 64), 10, use_native=True).render(sprites)
+    b = SpriteRenderer((64, 64), 10, use_native=False).render(sprites)
+    assert a.shape == b.shape == (64, 64, 3)
+    # same image up to sub-pixel AA differences
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+    # and exactly equal on the interior of the shapes
+    assert (a == b).mean() > 0.95
