@@ -42,22 +42,37 @@ def main(config):
         resume_checkpoint=config.load.resume_checkpoint,
         resume_run_path=config.load.resume_run_path)
 
+    # Per-step host materialisation of metrics would serialize the device
+    # pipeline; metrics stay on-device and are flushed every log_interval
+    # steps (they're tiny scalars, so holding references is free).
+    log_interval = int(config.get("log_interval", 50))
+    pending: list = []
+
+    def flush_pending():
+        for s, m in pending:
+            logger.log({f"train/{k}": float(np.asarray(v)) for k, v in m.items()},
+                       step=s)
+        pending.clear()
+
     while epoch < config.max_epochs:
         t0, imgs = time.time(), 0
         for batch in prefetch_to_device(train_dl, size=2):
             masks = batch.get("masks")
             metrics = model.update(batch["obss"], masks, step)
             imgs += batch["obss"].shape[0]
-            logger.log({f"train/{k}": v for k, v in metrics.items()}, step=step)
+            pending.append((step, metrics))
             step += 1
-            if step % 50 == 0 or step < 3:
+            if step % log_interval == 0 or step < 3:
+                flush_pending()
                 rate = imgs / (time.time() - t0)
                 log.info("epoch %d step %d loss %.4f (%.1f imgs/s)", epoch, step,
-                         float(metrics.get("loss", 0.0)), rate)
+                         float(np.asarray(metrics.get("loss", 0.0))), rate)
             if step % config.eval_interval == 0:
+                flush_pending()
                 best_val_loss = eval_and_save(
                     model, val_dl, epoch, step, best_val_loss, config, run)
         epoch += 1
+        flush_pending()
         logger.log({"epoch": epoch}, step=step)
 
 
