@@ -43,32 +43,34 @@ class SlotAttention(nn.Module):
         ])
 
     def __call__(self, inputs, slots):
-        """inputs: [B, N_kv, D_in]; slots: [B, N_q, D_slot] initial slots."""
+        """inputs: [B, N_kv, D_in]; slots: [B, N_q, D_slot] initial slots.
+
+        k/v keep their natural [B, N, H, hd] layout — no materialised head
+        transposes of the (large) token tensors; einsums contract in place.
+        """
         B, N_kv, _ = inputs.shape
         N_q, H = self.num_slots, self.num_heads
         hd = self.slot_size // H
 
         inputs = self.norm_inputs(inputs)
-        split = lambda x: x.reshape(B, N_kv, H, hd).transpose(0, 2, 1, 3)
-        k = split(self.project_k(inputs)) * hd ** -0.5  # [B,H,N_kv,hd]
-        v = split(self.project_v(inputs))
+        k = self.project_k(inputs).reshape(B, N_kv, H, hd) * hd ** -0.5
+        v = self.project_v(inputs).reshape(B, N_kv, H, hd)
 
         def iteration(mdl, slots):
             slots_prev = slots
             normed = mdl.norm_slots(slots)
-            q = mdl.project_q(normed).reshape(B, N_q, H, hd).transpose(0, 2, 1, 3)
-            # logits over (input, slot) per head
-            attn_logits = jnp.einsum("bhnd,bhsd->bhns", k, q)  # [B,H,N_kv,N_q]
+            q = mdl.project_q(normed).reshape(B, N_q, H, hd)
+            # logits over (input, head, slot)
+            attn_logits = jnp.einsum("bnhd,bshd->bnhs", k, q)  # [B,N_kv,H,N_q]
             # softmax jointly over heads*slots (competition among slots)
-            flat = attn_logits.transpose(0, 2, 1, 3).reshape(B, N_kv, H * N_q)
-            attn = jax.nn.softmax(flat, axis=-1).reshape(B, N_kv, H, N_q)
-            attn = attn.transpose(0, 2, 1, 3)  # [B,H,N_kv,N_q]
-            attn_vis = attn.sum(1)  # [B,N_kv,N_q]
+            attn = jax.nn.softmax(attn_logits.reshape(B, N_kv, H * N_q), axis=-1)
+            attn = attn.reshape(B, N_kv, H, N_q)
+            attn_vis = attn.sum(2)  # [B,N_kv,N_q]
             # weighted mean over inputs
             attn = attn + self.epsilon
-            attn = attn / jnp.sum(attn, axis=-2, keepdims=True)
-            updates = jnp.einsum("bhns,bhnd->bhsd", attn, v)
-            updates = updates.transpose(0, 2, 1, 3).reshape(B, N_q, self.slot_size)
+            attn = attn / jnp.sum(attn, axis=1, keepdims=True)
+            updates = jnp.einsum("bnhs,bnhd->bshd", attn, v)
+            updates = updates.reshape(B, N_q, self.slot_size)
             # GRU update + residual MLP
             _, slots = mdl.gru(slots_prev.reshape(-1, mdl.slot_size),
                                updates.reshape(-1, mdl.slot_size))
