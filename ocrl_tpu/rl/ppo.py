@@ -166,15 +166,20 @@ class OnPolicyAlgo:
         buf_dones = np.empty((n_steps, E), np.float32)
         ep_infos = []
 
+        # one rng split for the whole rollout + a single device_get per step:
+        # the env step is the only host round-trip that has to be synchronous
+        # (matters when the device sits behind a high-latency transport)
+        self._rng, sub = jax.random.split(self._rng)
+        step_keys = jax.random.split(sub, n_steps + 1)
+
         for t in range(n_steps):
             proc = _preprocess(obs, self.is_image_obs)
-            action, logprob, value = self._act(self.params, jnp.asarray(proc),
-                                               self._next_rng())
-            action = np.asarray(action)
+            outs = self._act(self.params, jnp.asarray(proc), step_keys[t])
+            action, logprob, value = jax.device_get(outs)
             buf_obs[t] = proc
             buf_actions[t] = action
-            buf_logprobs[t] = np.asarray(logprob)
-            buf_values[t] = np.asarray(value)
+            buf_logprobs[t] = logprob
+            buf_values[t] = value
             next_obs, rewards, dones, infos = vec_env.step(action)
             buf_rewards[t] = rewards
             buf_dones[t] = dones
