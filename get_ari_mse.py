@@ -37,6 +37,20 @@ def main(config):
             f"get_ari_mse needs a mask-producing OCR (SLATE/Slot-Attention/"
             f"Iodine), got {config.ocr.name}")
 
+    # SLATE's headline MSE is the autoregressive reconstruction
+    # (reference: slate_module.py:234-238 with_mse -> _gen_imgs)
+    gen_mse_fn = None
+    if config.ocr.name == "SLATE" and not config.ocr.use_bcdec:
+        module = ocr.spec.module
+
+        def gen_mse(params, obs, rng):
+            slots, _ = module.apply({"params": params}, obs, rngs=ocr._rngs_for(rng),
+                                    method="get_slots")
+            recon = module.apply({"params": params}, slots, method="gen_imgs")
+            return jnp.sum((obs - recon) ** 2) / obs.shape[0]
+
+        gen_mse_fn = jax.jit(gen_mse)
+
     # each model's loss metrics already carry foreground-masked ARI and MSE
     # (slate.py loss / iodine.py loss), computed on-device
     aris, mses = [], []
@@ -47,10 +61,15 @@ def main(config):
         m = ocr.get_loss(batch["obss"], batch["masks"])
         if "ari" in m:
             aris.append(float(np.asarray(m["ari"])))
-        for key in ("mse", "dvae_mse"):
-            if key in m:
-                mses.append(float(np.asarray(m[key])))
-                break
+        if gen_mse_fn is not None:
+            mses.append(float(np.asarray(gen_mse_fn(
+                ocr.params, jnp.asarray(batch["obss"], jnp.float32),
+                jax.random.PRNGKey(config.seed)))))
+        else:
+            for key in ("mse", "dvae_mse"):
+                if key in m:
+                    mses.append(float(np.asarray(m[key])))
+                    break
     results = {"ari": float(np.mean(aris)) if aris else float("nan"),
                "mse": float(np.mean(mses)) if mses else float("nan")}
     logger.log({f"eval/{k}": v for k, v in results.items()}, step=0)

@@ -1,0 +1,65 @@
+"""Data-parallel sharding tests (virtual 8-device CPU mesh; skip on 1 device)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ocrl_tpu.config import compose
+from ocrl_tpu.models import create_ocr
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8,
+    reason="needs 8 devices (run via scripts/run_tests_cpu.sh)")
+
+
+TINY = ["ocr=slate", "dataset=random-N5C4S4S2", "dataset.obs_size=16",
+        "ocr.dvae.vocab_size=64", "ocr.dvae.d_model=32", "ocr.cnn.hidden_size=16",
+        "ocr.slotattr.num_slots=3", "ocr.slotattr.slot_size=32",
+        "ocr.slotattr.mlp_hidden_size=32", "ocr.tfdec.num_dec_blocks=2",
+        "ocr.tfdec.num_dec_heads=2"]
+
+
+@needs_mesh
+def test_dp_train_step_runs_and_keeps_params_replicated():
+    from ocrl_tpu.parallel import batch_sharding, make_mesh, shard_ocr
+
+    cfg = compose("train_ocr", TINY)
+    model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
+    mesh = make_mesh(8)
+    shard_ocr(model, mesh)
+    obs = np.random.default_rng(0).random((16, 16, 16, 3)).astype("float32")
+    obs = jax.device_put(obs, batch_sharding(mesh))
+    m0 = model.update(obs, None, 0)
+    m1 = model.update(obs, None, 1)
+    assert np.isfinite(float(np.asarray(m1["loss"])))
+    # params replicated on all 8 devices
+    leaf = jax.tree.leaves(model.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+@needs_mesh
+def test_dp_matches_single_device_loss():
+    """First DP step must produce the same loss as the single-device step
+    (same params, same batch, same rng)."""
+    from ocrl_tpu.parallel import batch_sharding, make_mesh, shard_ocr
+
+    cfg = compose("train_ocr", TINY)
+    obs = np.random.default_rng(1).random((16, 16, 16, 3)).astype("float32")
+
+    single = create_ocr(cfg.ocr, cfg.dataset, seed=0)
+    loss_single = float(np.asarray(single.update(obs, None, 0)["loss"]))
+
+    dp = create_ocr(cfg.ocr, cfg.dataset, seed=0)
+    mesh = make_mesh(8)
+    shard_ocr(dp, mesh)
+    obs_sharded = jax.device_put(obs, batch_sharding(mesh))
+    loss_dp = float(np.asarray(dp.update(obs_sharded, None, 0)["loss"]))
+    assert loss_dp == pytest.approx(loss_single, rel=1e-4)
+
+
+@needs_mesh
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)

@@ -42,6 +42,10 @@ def main(config):
         resume_checkpoint=config.load.resume_checkpoint,
         resume_run_path=config.load.resume_run_path)
 
+    # Optional profiler trace (SURVEY §5: tracing as first-class):
+    # train_ocr.py ... +profile_dir=/tmp/trace traces steps 10-14.
+    profile_dir = config.get("profile_dir")
+
     # Per-step host materialisation of metrics would serialize the device
     # pipeline; metrics stay on-device and are flushed every log_interval
     # steps (they're tiny scalars, so holding references is free).
@@ -57,11 +61,21 @@ def main(config):
     while epoch < config.max_epochs:
         t0, imgs = time.time(), 0
         for batch in prefetch_to_device(train_dl, size=2):
+            if profile_dir and step == 10:
+                import jax
+
+                jax.profiler.start_trace(profile_dir)
             masks = batch.get("masks")
             metrics = model.update(batch["obss"], masks, step)
             imgs += batch["obss"].shape[0]
             pending.append((step, metrics))
             step += 1
+            if profile_dir and step == 15:
+                import jax
+
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                log.info("profiler trace written to %s", profile_dir)
             if step % log_interval == 0 or step < 3:
                 flush_pending()
                 rate = imgs / (time.time() - t0)
