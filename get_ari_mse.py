@@ -62,8 +62,10 @@ def main(config):
         if "ari" in m:
             aris.append(float(np.asarray(m["ari"])))
         if gen_mse_fn is not None:
+            from ocrl_tpu.models.base import normalize_obs
+
             mses.append(float(np.asarray(gen_mse_fn(
-                ocr.params, jnp.asarray(batch["obss"], jnp.float32),
+                ocr.params, normalize_obs(batch["obss"]),
                 jax.random.PRNGKey(config.seed)))))
         else:
             for key in ("mse", "dvae_mse"):

@@ -56,14 +56,17 @@ class H5Dataset:
 
 
 def _postprocess(raw: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-    """uint8 HWC images -> float32 [0,1]; labels -> int32.
+    """labels -> int32; images stay uint8.
 
-    Matches reference utils/datasets.py:13-24 semantics (but NHWC, not CHW).
+    The reference converts to float CHW/255 per item on the host
+    (utils/datasets.py:13-24).  Here images cross the host->device boundary
+    as uint8 (4x less transfer) and the /255 float conversion happens
+    on-device in the jitted step (models/base.py::_as_f32).
     """
     out = {}
     for key, value in raw.items():
         if key == "obss":
-            out[key] = np.asarray(value, dtype=np.float32) / 255.0
+            out[key] = np.asarray(value)  # uint8 passthrough
         elif key == "labels":
             out[key] = np.asarray(value, dtype=np.int32).reshape(len(value), -1)
         else:

@@ -211,8 +211,16 @@ class OCR:
             self.opt_state = checkpoint["ocr_opt_state_dict"]
 
 
-def _as_f32(obs):
-    return jnp.asarray(obs, jnp.float32)
+def normalize_obs(obs):
+    """Images arrive as uint8 (cheap transfer) and are normalised on-device;
+    float inputs are assumed already in [0, 1]."""
+    obs = jnp.asarray(obs)
+    if obs.dtype == jnp.uint8:
+        return obs.astype(jnp.float32) / 255.0
+    return obs.astype(jnp.float32)
+
+
+_as_f32 = normalize_obs
 
 
 def _mask_arg(masks):

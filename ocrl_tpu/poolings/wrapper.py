@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models import create_ocr
-from ..models.base import OCR
+from ..models.base import OCR, normalize_obs
 from ..utils.checkpoint import load_checkpoint
 from .modules import create_pooling_module, pooled_dim
 
@@ -136,7 +136,7 @@ class Pooling:
         return rng
 
     def __call__(self, obs, with_loss: bool = False):
-        obs = jnp.asarray(obs, jnp.float32)
+        obs = normalize_obs(obs)
         if with_loss:
             return self._fwd_with_loss(self._ocr.params, self.params, obs,
                                        self._next_rng())

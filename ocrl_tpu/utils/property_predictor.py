@@ -168,7 +168,9 @@ class PropertyPredictor:
         return col_inds
 
     def get_loss(self, batch: dict) -> dict:
-        obs = jnp.asarray(batch["obss"], jnp.float32)
+        from ..models.base import normalize_obs
+
+        obs = normalize_obs(batch["obss"])
         target = jnp.asarray(batch["objs"], jnp.float32)
         rng = self._next_rng()
         cost = np.asarray(self._cost_fn(self.params, obs, target, rng))
@@ -177,7 +179,9 @@ class PropertyPredictor:
         return metrics
 
     def update(self, batch: dict, step: int = 0) -> dict:
-        obs = jnp.asarray(batch["obss"], jnp.float32)
+        from ..models.base import normalize_obs
+
+        obs = normalize_obs(batch["obss"])
         target = jnp.asarray(batch["objs"], jnp.float32)
         rng = self._next_rng()
         cost = np.asarray(self._cost_fn(self.params, obs, target, rng))

@@ -106,8 +106,8 @@ def test_dataloader(tmp_path):
     assert len(batches) == 100 // 16
     for b in batches:
         assert b["obss"].shape == (16, 16, 16, 3)
-        assert b["obss"].dtype == np.float32
-        assert b["obss"].max() <= 1.0
+        # images stay uint8 on the host; /255 normalisation happens on-device
+        assert b["obss"].dtype == np.uint8
         assert "num_objs" not in b
         assert b["labels"].dtype == np.int32
 

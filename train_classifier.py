@@ -55,8 +55,10 @@ def main(config):
     ocr_module, pool_module = ocr.spec.module, pooling.module
     detach = not config.pooling.learn_downstream_loss
 
+    from ocrl_tpu.models.base import normalize_obs
+
     def loss_fn(params, obs, labels, rng):
-        rep = ocr_module.apply({"params": ocr.params}, obs,
+        rep = ocr_module.apply({"params": ocr.params}, normalize_obs(obs),
                                rngs=ocr._rngs_for(rng))
         if detach:
             rep = jax.lax.stop_gradient(rep)

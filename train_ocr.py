@@ -53,9 +53,15 @@ def main(config):
     pending: list = []
 
     def flush_pending():
-        for s, m in pending:
-            logger.log({f"train/{k}": float(np.asarray(v)) for k, v in m.items()},
-                       step=s)
+        import jax
+
+        if not pending:
+            return
+        # one bulk transfer for the whole window — per-scalar device reads are
+        # round-trips and dominate on high-latency transports
+        host = jax.device_get([m for _, m in pending])
+        for (s, _), m in zip(pending, host):
+            logger.log({f"train/{k}": float(v) for k, v in m.items()}, step=s)
         pending.clear()
 
     while epoch < config.max_epochs:
