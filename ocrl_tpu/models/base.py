@@ -84,6 +84,7 @@ class OCR:
         self.rep_dim = spec.rep_dim
         self.num_slots = spec.num_slots
         self._mesh = mesh
+        self._last_step = 0
 
         root = jax.random.PRNGKey(seed)
         init_rng, self._rng = jax.random.split(root)
@@ -166,12 +167,18 @@ class OCR:
     def __call__(self, obs):
         return self._forward(self.params, _as_f32(obs), self._next_rng())
 
-    def get_loss(self, obs, masks=None) -> dict:
+    def get_loss(self, obs, masks=None, step=None) -> dict:
+        """Eval metrics at the CURRENT training step's schedules (tau etc.),
+        like the reference's eval-after-update_tau behaviour
+        (reference: slate.py:53-54, train_ocr.py:72-86)."""
+        if step is None:
+            step = self._last_step
         metrics = self._eval_step(self.params, _as_f32(obs), _mask_arg(masks),
-                                  jnp.int32(0), self._next_rng())
+                                  jnp.int32(step), self._next_rng())
         return metrics
 
     def update(self, obs, masks, step: int) -> dict:
+        self._last_step = int(step)
         if self.tx is None:
             return {}
         self.params, self.opt_state, metrics = self._train_step(
