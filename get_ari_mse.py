@@ -54,7 +54,9 @@ def main(config):
     # each model's loss metrics already carry foreground-masked ARI and MSE
     # (slate.py loss / iodine.py loss), computed on-device
     aris, mses = [], []
+    eval_key = jax.random.PRNGKey(config.seed)
     for batch in prefetch_to_device(val_dl, size=2):
+        eval_key, batch_key = jax.random.split(eval_key)
         if "masks" not in batch:
             raise KeyError("dataset has no 'masks'; collect with "
                            "collection.with_masks=True")
@@ -65,8 +67,7 @@ def main(config):
             from ocrl_tpu.models.base import normalize_obs
 
             mses.append(float(np.asarray(gen_mse_fn(
-                ocr.params, normalize_obs(batch["obss"]),
-                jax.random.PRNGKey(config.seed)))))
+                ocr.params, normalize_obs(batch["obss"]), batch_key))))
         else:
             for key in ("mse", "dvae_mse"):
                 if key in m:

@@ -239,7 +239,8 @@ class PPO(OnPolicyAlgo):
             entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
 
             adv = batch["advantages"]
-            if cfg.normalize_advantage:
+            # SB3 skips normalisation for size-1 minibatches (static shape)
+            if cfg.normalize_advantage and adv.shape[0] > 1:
                 adv = (adv - adv.mean()) / (adv.std() + 1e-8)
             ratio = jnp.exp(logprob - batch["logprobs"])
             unclipped = adv * ratio
@@ -251,19 +252,32 @@ class PPO(OnPolicyAlgo):
             return loss, {"policy_loss": policy_loss, "value_loss": value_loss,
                           "entropy": entropy, "approx_kl": approx_kl}
 
-        def update(params, opt_state, batch, rng):
+        def update(params, opt_state, data, idx, rng):
+            # the full rollout stays resident on device; each minibatch is an
+            # on-device gather, so the host ships only `idx` per update
+            minibatch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch, rng)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+                loss_fn, has_aux=True)(params, minibatch, rng)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if cfg.target_kl is not None:
+                # SB3 semantics: an over-KL minibatch aborts the epoch loop
+                # BEFORE its update is applied (sb3 ppo.py checks approx_kl
+                # ahead of optimizer.step())
+                ok = metrics["approx_kl"] <= 1.5 * cfg.target_kl
+                new_params = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_params, params)
+                new_opt_state = jax.tree.map(
+                    lambda n, o: jnp.where(ok, n, o), new_opt_state, opt_state)
             metrics["loss"] = loss
-            return params, opt_state, metrics
+            return new_params, new_opt_state, metrics
 
         self._update = jax.jit(update, donate_argnums=(0, 1))
 
     def train_on_rollout(self, batch: dict) -> dict:
         cfg = self.cfg
         n = batch["obs"].shape[0]
+        data = {k: jnp.asarray(v) for k, v in batch.items()}  # one upload
         rng_np = np.random.default_rng(int(jax.random.randint(
             self._next_rng(), (), 0, 2 ** 31 - 1)))
         metrics = {}
@@ -271,12 +285,12 @@ class PPO(OnPolicyAlgo):
         for _ in range(cfg.n_epochs):
             perm = rng_np.permutation(n)
             for start in range(0, n, cfg.batch_size):
-                idx = perm[start:start + cfg.batch_size]
-                if len(idx) < cfg.batch_size:
-                    continue  # SB3 drops incomplete minibatches only if < 2; keep simple
-                minibatch = {k: jnp.asarray(v[idx]) for k, v in batch.items()}
+                # SB3's RolloutBuffer yields the final partial minibatch too;
+                # its size (n % batch_size) is fixed, so jit compiles at most
+                # two program shapes
+                idx = jnp.asarray(perm[start:start + cfg.batch_size])
                 self.params, self.opt_state, metrics = self._update(
-                    self.params, self.opt_state, minibatch, self._next_rng())
+                    self.params, self.opt_state, data, idx, self._next_rng())
                 if cfg.target_kl is not None and \
                         float(metrics["approx_kl"]) > 1.5 * cfg.target_kl:
                     stop = True

@@ -110,3 +110,43 @@ def test_frozen_ocr_not_updated(tmp_path):
         algo.params["pooling_module"], pool_before)))
     assert ocr_diff == 0.0     # frozen
     assert pool_diff > 0.0     # pooling trains
+
+
+def test_ppo_target_kl_blocks_update(ppo_setup):
+    """SB3 semantics: an over-KL minibatch aborts training BEFORE its update
+    is applied (sb3 ppo.py checks approx_kl ahead of optimizer.step())."""
+    import jax
+    cfg, vec_env, _ = ppo_setup
+    policy, ocr, freeze, _ = build_policy(cfg, seed=3)
+    algo = PPO(policy, vec_env.observation_space.shape, False, 2,
+               PPOConfig(n_steps=16, batch_size=8, n_epochs=2,
+                         target_kl=1e-12), seed=3)
+    obs = vec_env.reset()
+    _, batch, _ = algo.collect_rollout(vec_env, obs, 8, 0.99, 0.95)
+    # poison old logprobs so the very first minibatch exceeds 1.5*target_kl
+    batch["logprobs"] = batch["logprobs"] + 5.0
+    before = jax.tree.map(np.asarray, algo.params)
+    algo.train_on_rollout(batch)
+    diff = sum(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
+        algo.params, before)))
+    assert diff == 0.0  # the over-KL update must NOT have been applied
+
+
+def test_ppo_trains_on_partial_tail_minibatch(ppo_setup):
+    """SB3's RolloutBuffer yields the final partial minibatch; a rollout
+    smaller than batch_size must still produce gradient updates."""
+    import jax
+    cfg, vec_env, _ = ppo_setup
+    policy, ocr, freeze, _ = build_policy(cfg, seed=4)
+    algo = PPO(policy, vec_env.observation_space.shape, False, 2,
+               PPOConfig(n_steps=8, batch_size=64, n_epochs=1), seed=4)
+    obs = vec_env.reset()
+    _, batch, _ = algo.collect_rollout(vec_env, obs, 4, 0.99, 0.95)
+    assert batch["obs"].shape[0] == 8  # 4 steps x 2 envs < batch_size
+    before = jax.tree.map(np.asarray, algo.params)
+    algo.train_on_rollout(batch)
+    diff = sum(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
+        algo.params, before)))
+    assert diff > 0.0
