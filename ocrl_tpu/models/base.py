@@ -119,7 +119,10 @@ class OCR:
     def _rngs_for(self, rng):
         return {s: jax.random.fold_in(rng, i) for i, s in enumerate(self.spec.rng_streams)}
 
-    def _build_step_fns(self, donate: bool) -> None:
+    def _step_fn_defs(self):
+        """The single definition of all step functions, shared by the plain
+        single-device jit below and the sharded jit in parallel.shard_ocr —
+        one body, two compilation wrappers (no drift between them)."""
         spec = self.spec
 
         def loss_fn(params, obs, masks, step, rng, train):
@@ -146,17 +149,23 @@ class OCR:
             return spec.module.apply({"params": params}, obs,
                                      rngs=self._rngs_for(rng))
 
+        if hasattr(spec.module, "sample_arrays"):
+            def sample_arrays(params, obs, rng):
+                return spec.module.apply(
+                    {"params": params}, obs, rngs=self._rngs_for(rng),
+                    method="sample_arrays")
+        else:
+            sample_arrays = None
+        return train_step, eval_step, forward, sample_arrays
+
+    def _build_step_fns(self, donate: bool) -> None:
+        train_step, eval_step, forward, sample_arrays = self._step_fn_defs()
         donate_args = (0, 1) if donate else ()
         self._train_step = jax.jit(train_step, donate_argnums=donate_args)
         self._eval_step = jax.jit(eval_step)
         self._forward = jax.jit(forward)
-        if hasattr(spec.module, "sample_arrays"):
-            self._sample_arrays = jax.jit(
-                lambda params, obs, rng: spec.module.apply(
-                    {"params": params}, obs, rngs=self._rngs_for(rng),
-                    method="sample_arrays"))
-        else:
-            self._sample_arrays = None
+        self._sample_arrays = (
+            None if sample_arrays is None else jax.jit(sample_arrays))
 
     def _next_rng(self):
         self._rng, rng = jax.random.split(self._rng)

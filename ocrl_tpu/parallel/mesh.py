@@ -41,12 +41,6 @@ def shard_ocr(ocr, mesh: Mesh, axis_name: str = "data") -> None:
     Parameters/optimizer state are replicated; batches are sharded on their
     leading axis.  XLA inserts psum for the gradient all-reduce.
     """
-    import jax.numpy as jnp
-    import optax
-
-    from ..models.base import global_norm
-
-    spec = ocr.spec
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh, axis_name)
 
@@ -54,40 +48,24 @@ def shard_ocr(ocr, mesh: Mesh, axis_name: str = "data") -> None:
     if ocr.opt_state is not None:
         ocr.opt_state = jax.device_put(ocr.opt_state, repl)
 
-    def loss_fn(params, obs, masks, step, rng, train):
-        return spec.module.apply(
-            {"params": params}, obs, masks, step, train,
-            rngs=ocr._rngs_for(rng), method="loss")
-
-    def train_step(params, opt_state, obs, masks, step, rng):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, obs, masks, step, rng, True), has_aux=True)(params)
-        metrics = dict(metrics)
-        if spec.clip is not None:
-            metrics["norm"] = global_norm(grads, spec.clip_ord)
-        updates, opt_state = ocr.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+    # the step-function BODIES are defined once in models/base.py
+    # (OCR._step_fn_defs); here they are only re-jitted with shardings
+    train_step, eval_step, forward, sample_arrays = ocr._step_fn_defs()
 
     ocr._train_step = jax.jit(
         train_step,
-        in_shardings=(repl, repl, data, None, None, None),
+        in_shardings=(repl, repl, data, data, None, None),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
-
-    def eval_step(params, obs, masks, step, rng):
-        _, metrics = loss_fn(params, obs, masks, step, rng, False)
-        return metrics
-
-    ocr._eval_step = jax.jit(eval_step, in_shardings=(repl, data, None, None, None),
-                             out_shardings=repl)
-
-    def forward(params, obs, rng):
-        return spec.module.apply({"params": params}, obs, rngs=ocr._rngs_for(rng))
-
+    ocr._eval_step = jax.jit(
+        eval_step, in_shardings=(repl, data, data, None, None),
+        out_shardings=repl)
     ocr._forward = jax.jit(forward, in_shardings=(repl, data, None),
                            out_shardings=data)
+    if sample_arrays is not None:
+        ocr._sample_arrays = jax.jit(
+            sample_arrays, in_shardings=(repl, data, None))
     ocr._mesh = mesh
     ocr._batch_sharding = data
 

@@ -63,3 +63,21 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+@needs_mesh
+def test_dp_eval_and_samples_sharded():
+    """eval/sample paths also run under the mesh (one step-fn definition,
+    re-jitted with shardings by shard_ocr)."""
+    from ocrl_tpu.parallel import batch_sharding, make_mesh, shard_ocr
+
+    cfg = compose("train_ocr", TINY)
+    model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
+    mesh = make_mesh(8)
+    shard_ocr(model, mesh)
+    obs = np.random.default_rng(2).random((16, 16, 16, 3)).astype("float32")
+    obs = jax.device_put(obs, batch_sharding(mesh))
+    metrics = model.get_loss(obs)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+    grids = model.get_samples(obs)
+    assert grids  # sample grids produced through the sharded path
