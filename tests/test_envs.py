@@ -168,3 +168,48 @@ def test_native_rasterizer_matches_pil():
     assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
     # and exactly equal on the interior of the shapes
     assert (a == b).mean() > 0.95
+
+
+def test_dtd_background_images_and_mask_invariance(tmp_path):
+    """DTD-style background images (reference: envs/synthetic_envs/base.py:49-56,
+    307-317): a background dir is scanned at construction, a random image (or
+    black) is applied per reset, and differential-render masks stay correct
+    over a non-black background."""
+    from PIL import Image
+
+    bg_dir = tmp_path / "textures"
+    bg_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        arr = rng.integers(60, 200, size=(32, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(bg_dir / f"tex{i}.png")
+
+    env, env_cfg = make_env("target-N4C4S3S1", seed=7)
+    env_cfg.background.use_bg = True
+    env_cfg.background.img_paths = [str(bg_dir)]
+    import ocrl_tpu.envs as envs
+
+    env = envs.TargetEnv(env_cfg, 7)
+    # dir scanned + "Black" appended
+    assert len(env._bg_imgs) == 3 and env._bg_imgs[-1] == "Black"
+
+    # force a textured (non-black) background deterministically
+    env._bg_imgs = env._bg_imgs[:1]
+    obs = env.reset()
+    masks = env.render(mode="mask")
+    fg = masks[:-1].sum(0)
+    # background visible where no object sits
+    bg_pixels = obs[(fg[..., 0] == 0)]
+    assert bg_pixels.min() >= 40  # textured, not black
+    # masks partition the image: per-pixel sum of all masks == 1
+    np.testing.assert_array_equal(masks.sum(0), np.ones_like(masks[0]))
+    # every object got a nonempty mask
+    rows = env._objs[:-1] if env._wo_agent else env._objs
+    assert (masks[: len(rows)].sum(axis=(1, 2, 3)) > 0).all()
+
+    # black branch still works
+    env._bg_imgs = ["Black"]
+    obs_black = env.reset()
+    masks_b = env.render(mode="mask")
+    fg_b = masks_b[:-1].sum(0)
+    assert obs_black[(fg_b[..., 0] == 0)].max() == 0
