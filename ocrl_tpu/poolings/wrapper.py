@@ -53,6 +53,11 @@ def get_ocr(ocr_config, env_config, cpt_config, seed: int = 0) -> tuple[OCR, boo
     path = resolve_ocr_checkpoint_path(cpt_config)
     if path is None:
         return ocr, False
+    if path.suffix == ".pth":  # reference-format torch checkpoint
+        from ..utils.torch_convert import load_reference_checkpoint
+
+        load_reference_checkpoint(path, ocr)
+        return ocr, True
     tree, _ = load_checkpoint(path, ocr.save())
     ocr.load(tree)
     return ocr, True
