@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .vec_env import coerce_action
+
 
 def evaluate_policy(algo, env, n_episodes: int = 100,
                     deterministic: bool = False) -> dict:
@@ -16,7 +18,8 @@ def evaluate_policy(algo, env, n_episodes: int = 100,
         info = {}
         while not done:
             action = algo.predict(obs, deterministic=deterministic)
-            obs, reward, done, info = env.step(int(action))
+            obs, reward, done, info = env.step(
+                coerce_action(env.action_space, action))
             total += reward
             steps += 1
         returns.append(total)

@@ -37,6 +37,28 @@ def build_policy(config, seed: int = 0):
     return policy, ocr, freeze, pretrained
 
 
+def build_sac_policy(config, action_space, seed: int = 0):
+    """-> (SACPolicy module, ocr, freeze_ocr, pretrained) for continuous-action
+    tasks (reference: configs/sb3/sac.yaml + train_sb3.py:97)."""
+    from .sac import SACPolicy
+
+    env_cfg = config.env
+    ocr, pretrained = get_ocr(config.ocr, env_cfg,
+                              config.pooling.ocr_checkpoint, seed=seed)
+    finetuning = config.pooling.ocr_checkpoint.get("finetuning", False)
+    freeze = pretrained and not finetuning
+    pooling_module = create_pooling_module(
+        config.pooling.name, ocr.rep_dim, ocr.num_slots, config.pooling,
+        env_cfg.get("num_stacked_obss", 1))
+    policy = SACPolicy(
+        ocr_module=ocr.spec.module,
+        pooling_module=pooling_module,
+        action_dim=int(action_space.shape[0]),
+        freeze_ocr=freeze,
+    )
+    return policy, ocr, freeze, pretrained
+
+
 def inject_pretrained_ocr(algo, ocr) -> None:
     """Replace the policy's fresh OCR params with the pretrained ones."""
     params = dict(algo.params)

@@ -13,6 +13,13 @@ from typing import Callable, Sequence
 import numpy as np
 
 
+def coerce_action(action_space, act):
+    """Discrete envs take ints; continuous (Box) envs take float vectors."""
+    if hasattr(action_space, "n"):
+        return int(act)
+    return np.asarray(act, np.float32)
+
+
 class VecEnv:
     def __init__(self, env_fns: Sequence[Callable]):
         self.envs = [fn() for fn in env_fns]
@@ -26,7 +33,7 @@ class VecEnv:
     def step(self, actions):
         obs, rewards, dones, infos = [], [], [], []
         for env, act in zip(self.envs, actions):
-            o, r, d, info = env.step(int(act))
+            o, r, d, info = env.step(coerce_action(self.action_space, act))
             if d:
                 info = dict(info)
                 info["terminal_observation"] = o

@@ -16,8 +16,9 @@ import ocrl_tpu.envs as envs
 from ocrl_tpu import config as cfglib
 from ocrl_tpu import utils
 from ocrl_tpu.rl import (
-    A2C, A2CConfig, PPO, PPOConfig, VideoRecorder, build_policy,
-    evaluate_policy, inject_pretrained_ocr, make_vec_env)
+    A2C, A2CConfig, PPO, PPOConfig, SAC, SACConfig, VideoRecorder,
+    build_policy, build_sac_policy, evaluate_policy, inject_pretrained_ocr,
+    make_vec_env)
 from ocrl_tpu.utils import get_log_prefix, init_wandb, logger
 from ocrl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -44,24 +45,34 @@ def main(config):
     eval_env = env_ctor(config.env, seed=config.seed + config.num_envs)
     is_image_obs = config.env.render_mode != "state"
 
-    policy, ocr, freeze, pretrained = build_policy(config, seed=config.seed)
     obs_shape = vec_env.observation_space.shape
 
-    if config.sb3.name == "PPO":
-        algo = PPO(policy, obs_shape, is_image_obs, config.num_envs,
-                   PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
-                   seed=config.seed, freeze_ocr=freeze)
-    elif config.sb3.name == "A2C":
-        algo = A2C(policy, obs_shape, is_image_obs, config.num_envs,
-                   A2CConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
-                   seed=config.seed, freeze_ocr=freeze)
-    elif config.sb3.name == "SAC":
-        raise NotImplementedError(
-            "SAC targets the continuous-action CausalWorld tasks "
-            "(reference: configs/sb3/sac.yaml) which require the external "
-            "causal_world simulator; the synthetic benchmark suite is PPO/A2C.")
+    if config.sb3.name == "SAC":
+        # continuous control (reference: configs/sb3/sac.yaml, used for the
+        # CausalWorld reach tasks)
+        space = vec_env.action_space
+        if hasattr(space, "n"):
+            raise ValueError(
+                f"SAC needs a continuous (Box) action space; env "
+                f"'{config.env.env}' is discrete — use sb3=ppo or sb3=a2c")
+        policy, ocr, freeze, pretrained = build_sac_policy(
+            config, space, seed=config.seed)
+        algo = SAC(policy, obs_shape, is_image_obs, config.num_envs,
+                   SACConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
+                   seed=config.seed, freeze_ocr=freeze,
+                   action_low=space.low, action_high=space.high)
     else:
-        raise ValueError(f"Unknown algo '{config.sb3.name}'")
+        policy, ocr, freeze, pretrained = build_policy(config, seed=config.seed)
+        if config.sb3.name == "PPO":
+            algo = PPO(policy, obs_shape, is_image_obs, config.num_envs,
+                       PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
+                       seed=config.seed, freeze_ocr=freeze)
+        elif config.sb3.name == "A2C":
+            algo = A2C(policy, obs_shape, is_image_obs, config.num_envs,
+                       A2CConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
+                       seed=config.seed, freeze_ocr=freeze)
+        else:
+            raise ValueError(f"Unknown algo '{config.sb3.name}'")
 
     if pretrained:
         inject_pretrained_ocr(algo, ocr)
