@@ -46,12 +46,16 @@ def main():
     parser.add_argument("--num-val", type=int, default=10_000)
     parser.add_argument("--num-proc", type=int, default=50)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--fake-sim", action="store_true",
+                        help="use the kinematic fake TriFinger backend "
+                             "(no causal_world/pybullet needed)")
     args = parser.parse_args()
 
     from ocrl_tpu.config import compose
 
     cfg = compose("train_sb3", ["ocr=gt", "pooling=mlp", "sb3=ppo",
-                                "sb3_acnet=mlp", f"env={args.env}"])
+                                "sb3_acnet=mlp", f"env={args.env}"]
+                  + (["env.use_fake_sim=true"] if args.fake_sim else []))
     out = Path(args.out or f"datasets/{cfg.env.env}-N{cfg.env.num_objects_range[0]}"
                            f"-Tr{args.num_tr}-Val{args.num_val}.hdf5")
     out.parent.mkdir(parents=True, exist_ok=True)
