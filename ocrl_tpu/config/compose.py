@@ -167,6 +167,12 @@ def main(config_name: str, config_dir: str | os.PathLike | None = None) -> Calla
         @functools.wraps(fn)
         def wrapper() -> Any:
             cfg = compose(config_name, sys.argv[1:], config_dir)
+            # Persistent XLA compilation cache for every entry point — the
+            # SLATE train step costs minutes to compile over a remote-compile
+            # transport and must be paid once per machine, not per run.
+            from ocrl_tpu.parallel import enable_compilation_cache
+
+            enable_compilation_cache(str(DEFAULT_CONFIG_DIR.parent / ".jax_cache"))
             return fn(cfg)
 
         return wrapper

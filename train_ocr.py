@@ -66,7 +66,8 @@ def main(config):
 
     while epoch < config.max_epochs:
         t0, imgs = time.time(), 0
-        for batch in prefetch_to_device(train_dl, size=2):
+        for batch in prefetch_to_device(train_dl, size=2,
+                                        superbatch=int(config.get("superbatch", 8))):
             if profile_dir and step == 10:
                 import jax
 
