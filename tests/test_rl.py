@@ -150,3 +150,35 @@ def test_ppo_trains_on_partial_tail_minibatch(ppo_setup):
         lambda a, b: float(np.abs(np.asarray(a) - b).sum()),
         algo.params, before)))
     assert diff > 0.0
+
+
+def test_subproc_vec_env_matches_dummy():
+    """SubprocVecEnv (fork, reference train_sb3.py:62-65) must behave exactly
+    like the in-process VecEnv: same spaces, same trajectories, auto-reset."""
+    cfg = gt_config()
+    dummy = make_vec_env(envs.TargetEnv, cfg.env, 2, seed=0, mode="dummy")
+    sub = make_vec_env(envs.TargetEnv, cfg.env, 2, seed=0, mode="subproc")
+    from ocrl_tpu.rl.vec_env import SubprocVecEnv
+
+    assert isinstance(sub, SubprocVecEnv)
+    assert sub.observation_space.shape == dummy.observation_space.shape
+    o_d, o_s = dummy.reset(), sub.reset()
+    np.testing.assert_array_equal(o_d, o_s)
+    rng = np.random.default_rng(0)
+    saw_done = False
+    for _ in range(30):
+        acts = rng.integers(0, dummy.action_space.n, size=2)
+        od, rd, dd, infod = dummy.step(acts)
+        os_, rs, ds, infos = sub.step(acts)
+        np.testing.assert_array_equal(od, os_)
+        np.testing.assert_array_equal(rd, rs)
+        np.testing.assert_array_equal(dd, ds)
+        saw_done = saw_done or bool(dd.any())
+        if dd.any():
+            i = int(np.argmax(dd))
+            np.testing.assert_array_equal(
+                np.asarray(infod[i]["terminal_observation"]),
+                np.asarray(infos[i]["terminal_observation"]))
+    assert sub.render_frame().shape == dummy.render_frame().shape
+    sub.close()
+    dummy.close()

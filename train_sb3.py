@@ -41,7 +41,8 @@ def main(config):
         config.env.render_mode = "state"
 
     env_ctor = getattr(envs, config.env.env)
-    vec_env = make_vec_env(env_ctor, config.env, config.num_envs, seed=config.seed)
+    vec_env = make_vec_env(env_ctor, config.env, config.num_envs, seed=config.seed,
+                           mode=config.get("vec_env", "auto"))
     eval_env = env_ctor(config.env, seed=config.seed + config.num_envs)
     is_image_obs = config.env.render_mode != "state"
 
