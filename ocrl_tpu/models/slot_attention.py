@@ -27,6 +27,10 @@ class SlotAttention(nn.Module):
     mlp_hidden_size: int
     num_heads: int
     epsilon: float = 1e-8
+    # fused Pallas routing kernel (ops/slot_routing.py): "auto" uses it on the
+    # TPU backend (single-head only); "always" forces it (interpret mode off
+    # TPU — tests); "never" keeps the pure-jnp loop below.
+    fused: str = "auto"
 
     def setup(self):
         self.norm_inputs = nn.LayerNorm()
@@ -55,6 +59,31 @@ class SlotAttention(nn.Module):
         inputs = self.norm_inputs(inputs)
         k = self.project_k(inputs).reshape(B, N_kv, H, hd) * hd ** -0.5
         v = self.project_v(inputs).reshape(B, N_kv, H, hd)
+
+        use_fused = (H == 1 and not self.is_initializing()
+                     and (self.fused == "always" or
+                          (self.fused == "auto"
+                           and jax.default_backend() == "tpu")))
+        if use_fused:
+            from ocrl_tpu.ops.slot_routing import slot_routing
+
+            p = self.variables["params"]
+            params = {
+                "ns_scale": p["norm_slots"]["scale"],
+                "ns_bias": p["norm_slots"]["bias"],
+                "wq": p["project_q"]["kernel"],
+                "wi": p["gru"]["wi"], "wh": p["gru"]["wh"],
+                "bi": p["gru"]["bi"], "bh": p["gru"]["bh"],
+                "nm_scale": p["norm_mlp"]["scale"],
+                "nm_bias": p["norm_mlp"]["bias"],
+                "w1": p["mlp"]["layers_0"]["kernel"],
+                "b1": p["mlp"]["layers_0"]["bias"],
+                "w2": p["mlp"]["layers_2"]["kernel"],
+                "b2": p["mlp"]["layers_2"]["bias"],
+            }
+            return slot_routing(self.num_iterations, self.epsilon,
+                                k.reshape(B, N_kv, hd), v.reshape(B, N_kv, hd),
+                                slots, params)
 
         def iteration(mdl, slots):
             slots_prev = slots
@@ -100,6 +129,7 @@ class SlotAttentionEncoder(nn.Module):
     slot_size: int
     mlp_hidden_size: int
     num_heads: int
+    fused: str = "auto"
 
     def setup(self):
         self.layer_norm = nn.LayerNorm()
@@ -114,7 +144,8 @@ class SlotAttentionEncoder(nn.Module):
                                          (1, 1, self.slot_size))
         self.slot_attention = SlotAttention(
             self.num_iterations, self.num_slots, self.input_channels,
-            self.slot_size, self.mlp_hidden_size, self.num_heads)
+            self.slot_size, self.mlp_hidden_size, self.num_heads,
+            fused=self.fused)
 
     def __call__(self, x):
         """x: [B, N, input_channels] flattened feature map."""

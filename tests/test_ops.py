@@ -67,3 +67,109 @@ def test_argmax_ids_blocks_gradients():
 
     g = jax.grad(f)(logits)  # grads flow through l but not through ids
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_slot_routing_fwd_matches_reference():
+    import jax
+    import jax.numpy as jnp
+    from ocrl_tpu.ops.slot_routing import (
+        PKEYS, slot_routing, slot_routing_reference)
+
+    B, N, S, D, M, T = 2, 12, 3, 16, 16, 3
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    s0 = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    shapes = dict(ns_scale=(D,), ns_bias=(D,), wq=(D, D), wi=(D, 3 * D),
+                  wh=(D, 3 * D), bi=(3 * D,), bh=(3 * D,), nm_scale=(D,),
+                  nm_bias=(D,), w1=(D, M), b1=(M,), w2=(M, D), b2=(D,))
+    params = {key: jnp.asarray(rng.normal(size=shapes[key]) * 0.3, jnp.float32)
+              for key in PKEYS}
+    for key in ("ns_scale", "nm_scale"):
+        params[key] = params[key] + 1.0
+
+    slots, attn = slot_routing(T, 1e-8, k, v, s0, params)
+    slots_r, attn_r = slot_routing_reference(T, 1e-8, k, v, s0, params)
+    np.testing.assert_allclose(np.asarray(slots), np.asarray(slots_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_r),
+                               rtol=2e-5, atol=2e-5)
+    assert np.allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
+
+
+def test_slot_routing_grads_match_reference():
+    import jax
+    import jax.numpy as jnp
+    from ocrl_tpu.ops.slot_routing import (
+        PKEYS, slot_routing, slot_routing_reference)
+
+    B, N, S, D, M, T = 2, 8, 3, 8, 8, 2
+    rng = np.random.default_rng(1)
+    k = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    s0 = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    shapes = dict(ns_scale=(D,), ns_bias=(D,), wq=(D, D), wi=(D, 3 * D),
+                  wh=(D, 3 * D), bi=(3 * D,), bh=(3 * D,), nm_scale=(D,),
+                  nm_bias=(D,), w1=(D, M), b1=(M,), w2=(M, D), b2=(D,))
+    params = {key: jnp.asarray(rng.normal(size=shapes[key]) * 0.3, jnp.float32)
+              for key in PKEYS}
+    for key in ("ns_scale", "nm_scale"):
+        params[key] = params[key] + 1.0
+    tgt_s = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    tgt_a = jnp.asarray(rng.normal(size=(B, N, S)), jnp.float32)
+
+    def loss(fn, k, v, s0, params):
+        slots, attn = fn(T, 1e-8, k, v, s0, params)
+        # exercise BOTH outputs' cotangents (attn_vis tap included)
+        return jnp.sum(slots * tgt_s) + jnp.sum(jnp.tanh(attn) * tgt_a)
+
+    g = jax.grad(lambda *a: loss(slot_routing, *a), argnums=(0, 1, 2, 3))(
+        k, v, s0, params)
+    gr = jax.grad(lambda *a: loss(slot_routing_reference, *a),
+                  argnums=(0, 1, 2, 3))(k, v, s0, params)
+    for name, a, b in [("k", g[0], gr[0]), ("v", g[1], gr[1]),
+                       ("s0", g[2], gr[2])]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+    for key in PKEYS:
+        np.testing.assert_allclose(np.asarray(g[3][key]),
+                                   np.asarray(gr[3][key]), rtol=1e-4,
+                                   atol=1e-5, err_msg=key)
+
+
+def test_slot_attention_module_fused_matches_jnp():
+    """SlotAttention(fused=always) must reproduce the jnp loop exactly
+    (same params, same slot-init noise) — outputs AND gradients."""
+    from ocrl_tpu.models.slot_attention import SlotAttention
+
+    B, N, D, S = 2, 12, 16, 3
+    rng = np.random.default_rng(2)
+    inputs = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    slots0 = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+
+    def build(fused):
+        m = SlotAttention(num_iterations=3, num_slots=S, input_size=D,
+                          slot_size=D, mlp_hidden_size=D, num_heads=1,
+                          fused=fused)
+        v = m.init({"params": jax.random.PRNGKey(0)}, inputs, slots0)
+        return m, v
+
+    m_j, v_j = build("never")
+    m_f, v_f = build("always")
+    jax.tree.map(np.testing.assert_array_equal, v_j, v_f)  # same init
+
+    out_j = m_j.apply(v_j, inputs, slots0)
+    out_f = m_f.apply(v_f, inputs, slots0)
+    np.testing.assert_allclose(np.asarray(out_f[0]), np.asarray(out_j[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_f[1]), np.asarray(out_j[1]),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(m, v):
+        s, a = m.apply(v, inputs, slots0)
+        return jnp.sum(s ** 2) + jnp.sum(a ** 2)
+
+    g_j = jax.grad(lambda v: loss(m_j, v))(v_j)
+    g_f = jax.grad(lambda v: loss(m_f, v))(v_f)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5), g_j, g_f)
