@@ -26,7 +26,11 @@ def main(config):
     if config.ocr.name == "GT":
         config.env.render_mode = "state"
     env_ctor = getattr(envs, config.env.env)
-    eval_env = env_ctor(config.env, seed=config.seed)
+    # batched eval episodes (see rl/evaluate.py vectorised path)
+    from ocrl_tpu.rl import make_vec_env
+    eval_env = make_vec_env(env_ctor, config.env,
+                            min(int(config.n_eval_episodes), 20),
+                            seed=config.seed, mode="dummy")
     is_image_obs = config.env.render_mode != "state"
 
     policy, ocr, freeze, pretrained = build_policy(config, seed=config.seed)

@@ -182,3 +182,18 @@ def test_subproc_vec_env_matches_dummy():
     assert sub.render_frame().shape == dummy.render_frame().shape
     sub.close()
     dummy.close()
+
+
+def test_vectorized_eval(ppo_setup):
+    """Batched eval over a VecEnv: same metric surface as serial eval, one
+    policy call per step for ALL episodes (SB3 vectorised semantics)."""
+    cfg, _, algo = ppo_setup
+    vec = make_vec_env(envs.TargetEnv, cfg.env, 3, seed=50, mode="dummy")
+    m = evaluate_policy(algo, vec, n_episodes=7)
+    assert set(m) == {"success_rate", "mean_reward", "mean_ep_length"}
+    assert 0.0 <= m["success_rate"] <= 1.0
+    assert m["mean_ep_length"] >= 1.0
+    # serial path still works on a bare env
+    env = envs.TargetEnv(cfg.env, seed=51)
+    m2 = evaluate_policy(algo, env, n_episodes=2)
+    assert 0.0 <= m2["success_rate"] <= 1.0

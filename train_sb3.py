@@ -43,7 +43,14 @@ def main(config):
     env_ctor = getattr(envs, config.env.env)
     vec_env = make_vec_env(env_ctor, config.env, config.num_envs, seed=config.seed,
                            mode=config.get("vec_env", "auto"))
-    eval_env = env_ctor(config.env, seed=config.seed + config.num_envs)
+    # eval episodes run BATCHED over a vec env (one policy call steps all of
+    # them) — n_episodes x episode_length serial policy round-trips would
+    # dominate wall-clock (reference evaluates 100 episodes per 1000 steps)
+    n_eval_envs = min(int(config.eval.n_episodes),
+                      int(config.eval.get("num_envs", 20)))
+    eval_env = make_vec_env(env_ctor, config.env, n_eval_envs,
+                            seed=config.seed + config.num_envs,
+                            mode=config.get("vec_env", "auto"))
     is_image_obs = config.env.render_mode != "state"
 
     obs_shape = vec_env.observation_space.shape
@@ -115,6 +122,7 @@ def main(config):
                step_callback=step_callback)
     video.close()
     vec_env.close()
+    eval_env.close()
 
 
 if __name__ == "__main__":
