@@ -56,8 +56,9 @@ def _bench_dataset() -> Path:
     if not BENCH_DS.is_file():
         from ocrl_tpu.data.collect import collect_dataset
 
+        n_batches = -(-(WARMUP + STEPS + 10) // 8) * 8  # full superbatch groups
         collect_dataset(cfg.env if cfg.get("env") else _env_cfg(),
-                        num_tr=(WARMUP + STEPS + 10) * BATCH, num_val=BATCH,
+                        num_tr=n_batches * BATCH, num_val=BATCH,
                         num_proc=1, seed=0, out_file=BENCH_DS)
     return BENCH_DS, cfg
 
@@ -85,24 +86,33 @@ def main() -> None:
     model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
     loader = DataLoader(H5Dataset(datafile, "TrainingSet"), BATCH, shuffle=True)
 
-    def batches():
-        while True:
-            yield from prefetch_to_device(loader, size=2, superbatch=8)
+    K = 8  # scanned steps per dispatch, = train_ocr's superbatch default
 
-    it = batches()
+    def superbatches():
+        while True:
+            yield from prefetch_to_device(loader, size=2, superbatch=K,
+                                          yield_whole=True)
+
+    it = superbatches()
     step = 0
-    for _ in range(WARMUP):
-        metrics = model.update(next(it)["obss"], None, step)
-        step += 1
-    float(np.asarray(metrics["loss"]))  # sync
+    while step < WARMUP:
+        sb = next(it)
+        k = sb["obss"].shape[0] // BATCH
+        metrics = model.update_many(sb["obss"], None, step, k)
+        step += k
+    float(np.asarray(metrics["loss"]).reshape(-1)[-1])  # sync
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        metrics = model.update(next(it)["obss"], None, step)
-        step += 1
-    float(np.asarray(metrics["loss"]))  # sync
+    n0 = step
+    while step < n0 + STEPS:
+        sb = next(it)
+        k = sb["obss"].shape[0] // BATCH
+        metrics = model.update_many(sb["obss"], None, step, k)
+        step += k
+    float(np.asarray(metrics["loss"]).reshape(-1)[-1])  # sync
     dt = time.perf_counter() - t0
-    imgs_per_sec = BATCH * STEPS / dt
+    steps_measured = step - n0
+    imgs_per_sec = BATCH * steps_measured / dt
 
     # -- MFU from XLA's cost analysis of the compiled step ---------------------
     obs = jnp.zeros((BATCH, 64, 64, 3), jnp.float32)
@@ -119,7 +129,7 @@ def main() -> None:
         pass
     kind = jax.devices()[0].device_kind
     peak = TPU_PEAK_FLOPS.get(kind, 197e12)
-    mfu = (flops * STEPS / dt / peak) if flops else None
+    mfu = (flops * steps_measured / dt / peak) if flops else None
 
     print(json.dumps({
         "metric": "slate_pretrain_imgs_per_sec_per_chip",

@@ -18,7 +18,7 @@ import numpy as np
 
 def prefetch_to_device(iterable: Iterable, size: int = 2,
                        sharding: Optional[jax.sharding.Sharding] = None,
-                       superbatch: int = 1) -> Iterator:
+                       superbatch: int = 1, yield_whole: bool = False) -> Iterator:
     """Yield items of `iterable` as device arrays, `size` batches ahead.
 
     ``superbatch > 1`` amortises host->device transfer latency: that many
@@ -29,6 +29,10 @@ def prefetch_to_device(iterable: Iterable, size: int = 2,
     Only equal-shaped batches are grouped — a trailing partial group is
     uploaded as-is.  Not combined with ``sharding`` (slicing a batch-sharded
     array would reshard); callers pass one or the other.
+
+    ``yield_whole=True`` yields each staged superbatch as ONE dict with k*B
+    leading rows instead of slicing it back into batches — the shape consumed
+    by ``OCR.update_many`` (k scanned optimizer steps per dispatch).
     """
     if superbatch > 1 and sharding is not None:
         raise ValueError("superbatch and sharding are mutually exclusive")
@@ -44,11 +48,15 @@ def prefetch_to_device(iterable: Iterable, size: int = 2,
         q.put(item)
 
     def put_group(group: list) -> None:
-        if len(group) == 1:
+        if len(group) == 1 and not yield_whole:
             put(group[0])
             return
-        stacked = {k: np.concatenate([g[k] for g in group]) for k in group[0]}
+        stacked = {k: np.concatenate([g[k] for g in group]) for k in group[0]} \
+            if len(group) > 1 else group[0]
         dev = jax.tree.map(jax.device_put, stacked)
+        if yield_whole:
+            q.put(dev)
+            return
         n = len(group)
         for i in range(n):
             q.put({k: v[i * (v.shape[0] // n):(i + 1) * (v.shape[0] // n)]

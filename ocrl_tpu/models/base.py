@@ -141,6 +141,40 @@ class OCR:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
+        def train_step_many(params, opt_state, obs, masks, step0, rng, k):
+            """k optimizer steps under ONE dispatch via lax.scan.
+
+            On a latency-bound transport every per-step dispatch/transfer
+            (step scalar upload, rng split, f32 cast, step call) costs a
+            round-trip; scanning k steps in one executable amortises all of
+            it.  obs is the staged superbatch (k*B, ...); metrics come back
+            stacked (k, ...) per key.
+            """
+            obs = normalize_obs(obs)  # uint8 superbatch crosses the boundary raw
+            obs = obs.reshape((k, obs.shape[0] // k) + obs.shape[1:])
+            if masks is not None:
+                masks = masks.reshape((k, masks.shape[0] // k) + masks.shape[1:])
+
+            def body(carry, xs):
+                params, opt_state = carry
+                i = xs[0]
+                ob = xs[1]
+                mk = xs[2] if masks is not None else None
+                (loss, metrics), grads = jax.value_and_grad(
+                    lambda p: loss_fn(p, ob, mk, step0 + i,
+                                      jax.random.fold_in(rng, i), True),
+                    has_aux=True)(params)
+                metrics = dict(metrics)
+                if spec.clip is not None:
+                    metrics["norm"] = global_norm(grads, spec.clip_ord)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            xs = (jnp.arange(k), obs) + ((masks,) if masks is not None else ())
+            (params, opt_state), metrics = jax.lax.scan(body, (params, opt_state), xs)
+            return params, opt_state, metrics
+
         def eval_step(params, obs, masks, step, rng):
             _, metrics = loss_fn(params, obs, masks, step, rng, False)
             return metrics
@@ -156,12 +190,15 @@ class OCR:
                     method="sample_arrays")
         else:
             sample_arrays = None
-        return train_step, eval_step, forward, sample_arrays
+        return train_step, eval_step, forward, sample_arrays, train_step_many
 
     def _build_step_fns(self, donate: bool) -> None:
-        train_step, eval_step, forward, sample_arrays = self._step_fn_defs()
+        (train_step, eval_step, forward, sample_arrays,
+         train_step_many) = self._step_fn_defs()
         donate_args = (0, 1) if donate else ()
         self._train_step = jax.jit(train_step, donate_argnums=donate_args)
+        self._train_step_many = jax.jit(
+            train_step_many, static_argnums=(6,), donate_argnums=donate_args)
         self._eval_step = jax.jit(eval_step)
         self._forward = jax.jit(forward)
         self._sample_arrays = (
@@ -193,6 +230,18 @@ class OCR:
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, _as_f32(obs), _mask_arg(masks),
             jnp.int32(step), self._next_rng())
+        return metrics
+
+    def update_many(self, obs, masks, step: int, k: int) -> dict:
+        """k optimizer steps (step .. step+k-1) in one dispatch; obs/masks are
+        the staged superbatch with k*B leading rows (uint8 obs welcome — the
+        f32 cast happens in-jit).  Returns metrics stacked (k,) per key."""
+        self._last_step = int(step) + k - 1
+        if self.tx is None:
+            return {}
+        self.params, self.opt_state, metrics = self._train_step_many(
+            self.params, self.opt_state, obs, _mask_arg(masks),
+            jnp.int32(step), self._next_rng(), k)
         return metrics
 
     def get_samples(self, obs) -> dict:

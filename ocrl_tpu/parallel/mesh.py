@@ -50,12 +50,22 @@ def shard_ocr(ocr, mesh: Mesh, axis_name: str = "data") -> None:
 
     # the step-function BODIES are defined once in models/base.py
     # (OCR._step_fn_defs); here they are only re-jitted with shardings
-    train_step, eval_step, forward, sample_arrays = ocr._step_fn_defs()
+    (train_step, eval_step, forward, sample_arrays,
+     train_step_many) = ocr._step_fn_defs()
 
     ocr._train_step = jax.jit(
         train_step,
         in_shardings=(repl, repl, data, data, None, None),
         out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    # superbatch rows arrive (k*B) batch-sharded; the in-jit (k, B) reshape is
+    # resharded by GSPMD so each scan step still runs data-parallel over B
+    ocr._train_step_many = jax.jit(
+        train_step_many,
+        in_shardings=(repl, repl, data, data, None, None),
+        out_shardings=(repl, repl, repl),
+        static_argnums=(6,),
         donate_argnums=(0, 1),
     )
     ocr._eval_step = jax.jit(

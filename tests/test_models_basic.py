@@ -97,3 +97,31 @@ def test_checkpoint_roundtrip_through_wrapper(tmp_path):
     assert step == 1 and best == 1.0
     np.testing.assert_allclose(np.asarray(model2(OBS)), np.asarray(model(OBS)),
                                rtol=1e-6)
+
+
+def test_update_many_scanned_steps():
+    """update_many(k) = k scanned optimizer steps in one dispatch: stacked
+    metrics, advancing loss, deterministic given the wrapper rng state."""
+    model, _ = make("vae")
+    sb = np.concatenate([OBS] * 3)  # k=3 superbatch (12 rows of batch 4)
+    m = model.update_many(sb, None, 0, 3)
+    assert m["loss"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+    assert model._last_step == 2
+
+    # a second call continues training: losses keep falling on the fixed batch
+    m2 = model.update_many(sb, None, 3, 3)
+    assert float(np.asarray(m2["loss"])[-1]) < float(np.asarray(m["loss"])[0])
+
+    # reproducible: a fresh model with the same seed takes the same trajectory
+    model_b, _ = make("vae")
+    mb = model_b.update_many(sb, None, 0, 3)
+    np.testing.assert_allclose(np.asarray(mb["loss"]), np.asarray(m["loss"]),
+                               rtol=1e-6)
+
+
+def test_update_many_uint8_and_masks_none():
+    model, _ = make("vae")
+    sb8 = (np.concatenate([OBS] * 2) * 255).astype(np.uint8)
+    m = model.update_many(sb8, None, 0, 2)
+    assert m["loss"].shape == (2,)

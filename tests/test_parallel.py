@@ -81,3 +81,22 @@ def test_dp_eval_and_samples_sharded():
     assert np.isfinite(float(np.asarray(metrics["loss"])))
     grids = model.get_samples(obs)
     assert grids  # sample grids produced through the sharded path
+
+
+@needs_mesh
+def test_dp_update_many():
+    """Scanned multi-step update under DP: superbatch sharded over the mesh,
+    params stay replicated, metrics stacked (k,)."""
+    from ocrl_tpu.parallel import batch_sharding, make_mesh, shard_ocr
+
+    cfg = compose("train_ocr", TINY)
+    model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
+    mesh = make_mesh(8)
+    shard_ocr(model, mesh)
+    obs = np.random.default_rng(2).random((32, 16, 16, 3)).astype("float32")
+    obs = jax.device_put(obs, batch_sharding(mesh))
+    m = model.update_many(obs, None, 0, 2)  # k=2 steps of batch 16
+    assert np.asarray(m["loss"]).shape == (2,)
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
+    leaf = jax.tree.leaves(model.params)[0]
+    assert len(leaf.sharding.device_set) == 8

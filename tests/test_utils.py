@@ -131,3 +131,35 @@ def test_prefetch_to_device(tmp_path):
     out = list(prefetch_to_device(dl, size=2))
     assert len(out) == 5
     assert isinstance(out[0]["obss"], jax.Array)
+
+
+def test_prefetch_superbatch_slices_match(tmp_path):
+    """superbatch staging must yield exactly the source batches, in order."""
+    from ocrl_tpu.data import H5Dataset, DataLoader, prefetch_to_device
+    import numpy as np
+
+    path = tmp_path / "d.hdf5"
+    _make_h5(path, n_train=40)
+    dl = DataLoader(H5Dataset(path, "TrainingSet"), batch_size=8, shuffle=True, seed=3)
+    plain = [np.asarray(b["obss"]) for b in dl]
+    dl2 = DataLoader(H5Dataset(path, "TrainingSet"), batch_size=8, shuffle=True, seed=3)
+    sb = [np.asarray(b["obss"]) for b in prefetch_to_device(dl2, superbatch=3)]
+    assert len(sb) == len(plain)
+    for a, b in zip(plain, sb):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetch_yield_whole(tmp_path):
+    """yield_whole groups k batches into one k*B-row dict (tail kept)."""
+    from ocrl_tpu.data import H5Dataset, DataLoader, prefetch_to_device
+    import numpy as np
+
+    path = tmp_path / "d.hdf5"
+    _make_h5(path, n_train=40)
+    dl = DataLoader(H5Dataset(path, "TrainingSet"), batch_size=8, shuffle=True, seed=3)
+    plain = [np.asarray(b["obss"]) for b in dl]
+    dl2 = DataLoader(H5Dataset(path, "TrainingSet"), batch_size=8, shuffle=True, seed=3)
+    whole = [np.asarray(b["obss"])
+             for b in prefetch_to_device(dl2, superbatch=3, yield_whole=True)]
+    assert [w.shape[0] for w in whole] == [24, 16]  # 3+2 batches of 8
+    np.testing.assert_array_equal(np.concatenate(whole), np.concatenate(plain))

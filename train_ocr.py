@@ -58,37 +58,50 @@ def main(config):
         if not pending:
             return
         # one bulk transfer for the whole window — per-scalar device reads are
-        # round-trips and dominate on high-latency transports
-        host = jax.device_get([m for _, m in pending])
-        for (s, _), m in zip(pending, host):
-            logger.log({f"train/{k}": float(v) for k, v in m.items()}, step=s)
+        # round-trips and dominate on high-latency transports.  update_many
+        # entries carry (k,)-stacked metrics; expand to one log row per step.
+        host = jax.device_get([m for _, _, m in pending])
+        for (s, k, _), m in zip(pending, host):
+            vals = {name: np.asarray(v).reshape(-1) for name, v in m.items()}
+            for j in range(k):
+                logger.log({f"train/{name}": float(v[j if v.size > 1 else 0])
+                            for name, v in vals.items()}, step=s + j)
         pending.clear()
 
+    superbatch = int(config.get("superbatch", 8))
+    batch_size = int(config.batch_size)
     while epoch < config.max_epochs:
         t0, imgs = time.time(), 0
-        for batch in prefetch_to_device(train_dl, size=2,
-                                        superbatch=int(config.get("superbatch", 8))):
-            if profile_dir and step == 10:
+        for batch in prefetch_to_device(train_dl, size=2, superbatch=superbatch,
+                                        yield_whole=True):
+            if profile_dir and 10 <= step < 10 + superbatch:
                 import jax
 
                 jax.profiler.start_trace(profile_dir)
             masks = batch.get("masks")
-            metrics = model.update(batch["obss"], masks, step)
+            k = batch["obss"].shape[0] // batch_size
+            if k > 1:
+                # k optimizer steps in ONE dispatch (lax.scan over the staged
+                # superbatch) — per-step host round-trips amortise k-fold
+                metrics = model.update_many(batch["obss"], masks, step, k)
+            else:
+                metrics = model.update(batch["obss"], masks, step)
             imgs += batch["obss"].shape[0]
-            pending.append((step, metrics))
-            step += 1
-            if profile_dir and step == 15:
+            pending.append((step, k, metrics))
+            prev_step, step = step, step + k
+            if profile_dir and prev_step < 15 <= step:
                 import jax
 
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 log.info("profiler trace written to %s", profile_dir)
-            if step % log_interval == 0 or step < 3:
+            if step // log_interval != prev_step // log_interval or prev_step < 3:
                 flush_pending()
                 rate = imgs / (time.time() - t0)
                 log.info("epoch %d step %d loss %.4f (%.1f imgs/s)", epoch, step,
-                         float(np.asarray(metrics.get("loss", 0.0))), rate)
-            if step % config.eval_interval == 0:
+                         float(np.asarray(metrics.get("loss", 0.0)).reshape(-1)[-1]),
+                         rate)
+            if step // config.eval_interval != prev_step // config.eval_interval:
                 flush_pending()
                 best_val_loss = eval_and_save(
                     model, val_dl, epoch, step, best_val_loss, config, run)
