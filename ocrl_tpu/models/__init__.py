@@ -27,6 +27,9 @@ def create_ocr(ocr_config, env_config, seed: int = 0) -> OCR:
     if name not in _REGISTRY:
         raise ValueError(f"Unknown OCR model '{name}'. Available: {sorted(_REGISTRY)}")
     spec = build_spec(ocr_config, env_config)
+    learning = ocr_config.get("learning")
+    if learning is not None and learning.get("log_grad_norms"):
+        spec.log_grad_norms = True
     return OCR(spec, seed=seed)
 
 

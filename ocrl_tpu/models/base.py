@@ -69,6 +69,10 @@ class ModelSpec:
     rng_streams: tuple = ("noise",)
     # does loss use masks / does eval need gradients (IODINE)
     uses_masks: bool = False
+    # per-top-level-module gradient norms in train metrics (the reference's
+    # wandb.watch gradient logging, ocrs/base.py:30-31; off by default —
+    # costs a few extra reductions per step)
+    log_grad_norms: bool = False
 
 
 class OCR:
@@ -137,6 +141,9 @@ class OCR:
             metrics = dict(metrics)
             if spec.clip is not None:
                 metrics["norm"] = global_norm(grads, spec.clip_ord)
+            if spec.log_grad_norms and isinstance(grads, dict):
+                for mod, sub in grads.items():
+                    metrics[f"grad_norm/{mod}"] = global_norm(sub)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
@@ -167,6 +174,9 @@ class OCR:
                 metrics = dict(metrics)
                 if spec.clip is not None:
                     metrics["norm"] = global_norm(grads, spec.clip_ord)
+                if spec.log_grad_norms and isinstance(grads, dict):
+                    for mod, sub in grads.items():
+                        metrics[f"grad_norm/{mod}"] = global_norm(sub)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics

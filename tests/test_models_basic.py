@@ -125,3 +125,13 @@ def test_update_many_uint8_and_masks_none():
     sb8 = (np.concatenate([OBS] * 2) * 255).astype(np.uint8)
     m = model.update_many(sb8, None, 0, 2)
     assert m["loss"].shape == (2,)
+
+
+def test_grad_norm_logging():
+    """ocr.learning.log_grad_norms=True adds per-module gradient norms
+    (the reference's wandb.watch equivalent, ocrs/base.py:30-31)."""
+    model, _ = make("vae", "+ocr.learning.log_grad_norms=True")
+    m = model.update(OBS, None, 0)
+    mods = [k for k in m if k.startswith("grad_norm/")]
+    assert mods, f"no grad_norm metrics in {sorted(m)}"
+    assert all(np.isfinite(float(np.asarray(m[k]))) for k in mods)
