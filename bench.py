@@ -43,12 +43,13 @@ STEPS = 200
 BENCH_DS = Path("/tmp/ocrl_bench_ds.hdf5")
 
 
-def _bench_dataset() -> Path:
+def _bench_dataset(extra_overrides=()) -> Path:
     """The real 1M training set when present, else a locally collected one."""
     from ocrl_tpu.config import compose
     from ocrl_tpu.data.hdf5 import resolve_datafile
 
-    cfg = compose("train_ocr", ["ocr=slate", "dataset=random-N5C4S4S2"])
+    cfg = compose("train_ocr", ["ocr=slate", "dataset=random-N5C4S4S2",
+                                *extra_overrides])
     try:
         return resolve_datafile(cfg.dataset), cfg
     except FileNotFoundError:
@@ -71,6 +72,19 @@ def _env_cfg():
 
 
 def main() -> None:
+    try:
+        _run([])
+    except Exception as e:  # pragma: no cover - hardware-specific safety net
+        import sys
+        import traceback
+
+        traceback.print_exc()
+        print(f"bench: retrying with ocr.slotattr.fused=never ({e!r})",
+              file=sys.stderr)
+        _run(["+ocr.slotattr.fused=never"])
+
+
+def _run(extra_overrides) -> None:
     from ocrl_tpu.config import compose
     from ocrl_tpu.data import prefetch_to_device
     from ocrl_tpu.data.hdf5 import DataLoader, H5Dataset
@@ -82,7 +96,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    datafile, cfg = _bench_dataset()
+    datafile, cfg = _bench_dataset(extra_overrides)
     model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
     loader = DataLoader(H5Dataset(datafile, "TrainingSet"), BATCH, shuffle=True)
 
