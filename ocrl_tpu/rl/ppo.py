@@ -115,9 +115,17 @@ class OnPolicyAlgo:
 
     def _build_fns(self):
         policy = self.policy
+        is_image = self.is_image_obs
+
+        def prep(obs):
+            # observations cross the host->device boundary raw (uint8 for
+            # images: 4x less transfer on the latency-bound rollout path);
+            # the [0,1] cast happens in-jit
+            obs = jnp.asarray(obs, jnp.float32)
+            return obs / 255.0 if is_image else obs
 
         def act(params, obs, rng):
-            logits, value = policy.apply({"params": params}, obs,
+            logits, value = policy.apply({"params": params}, prep(obs),
                                          rngs=self._rngs(rng))
             action = jax.random.categorical(jax.random.fold_in(rng, 7), logits)
             logprob = jax.nn.log_softmax(logits)[
@@ -125,13 +133,16 @@ class OnPolicyAlgo:
             return action, logprob, value
 
         def act_deterministic(params, obs, rng):
-            logits, value = policy.apply({"params": params}, obs,
+            logits, value = policy.apply({"params": params}, prep(obs),
                                          rngs=self._rngs(rng))
             return jnp.argmax(logits, -1), logits, value
 
         def values(params, obs, rng):
-            _, value = policy.apply({"params": params}, obs, rngs=self._rngs(rng))
+            _, value = policy.apply({"params": params}, prep(obs),
+                                    rngs=self._rngs(rng))
             return value
+
+        self._prep = prep
 
         self._act = jax.jit(act)
         self._act_det = jax.jit(act_deterministic)
@@ -142,7 +153,7 @@ class OnPolicyAlgo:
         return rng
 
     def predict(self, obs, deterministic: bool = False):
-        obs = jnp.asarray(_preprocess(np.asarray(obs), self.is_image_obs))
+        obs = jnp.asarray(np.asarray(obs))  # raw dtype; cast happens in-jit
         squeeze = obs.ndim == len(self.obs_shape)
         if squeeze:
             obs = obs[None]
@@ -158,7 +169,8 @@ class OnPolicyAlgo:
     def collect_rollout(self, vec_env, obs, n_steps: int, gamma: float,
                         gae_lambda: float, step_callback: Optional[Callable] = None):
         E = vec_env.num_envs
-        buf_obs = np.empty((n_steps, E) + obs.shape[1:], np.float32)
+        obs_dtype = np.uint8 if self.is_image_obs else np.float32
+        buf_obs = np.empty((n_steps, E) + obs.shape[1:], obs_dtype)
         buf_actions = np.empty((n_steps, E), np.int32)
         buf_logprobs = np.empty((n_steps, E), np.float32)
         buf_values = np.empty((n_steps, E), np.float32)
@@ -173,10 +185,9 @@ class OnPolicyAlgo:
         step_keys = jax.random.split(sub, n_steps + 1)
 
         for t in range(n_steps):
-            proc = _preprocess(obs, self.is_image_obs)
-            outs = self._act(self.params, jnp.asarray(proc), step_keys[t])
+            outs = self._act(self.params, jnp.asarray(obs), step_keys[t])
             action, logprob, value = jax.device_get(outs)
-            buf_obs[t] = proc
+            buf_obs[t] = obs
             buf_actions[t] = action
             buf_logprobs[t] = logprob
             buf_values[t] = value
@@ -192,8 +203,7 @@ class OnPolicyAlgo:
                 step_callback(self)
 
         last_values = np.asarray(self._values(
-            self.params, jnp.asarray(_preprocess(obs, self.is_image_obs)),
-            self._next_rng()))
+            self.params, jnp.asarray(obs), self._next_rng()))
 
         # GAE (SB3 buffers.py semantics; episodic -> no timeout bootstrapping)
         advantages = np.zeros_like(buf_rewards)
@@ -230,9 +240,11 @@ class PPO(OnPolicyAlgo):
     def _build_update(self):
         cfg = self.cfg
         policy = self.policy
+        prep = self._prep
 
         def loss_fn(params, batch, rng):
-            logits, values = policy.apply({"params": params}, batch["obs"],
+            logits, values = policy.apply({"params": params},
+                                          prep(batch["obs"]),
                                           rngs=self._rngs(rng))
             logp_all = jax.nn.log_softmax(logits)
             logprob = logp_all[jnp.arange(logits.shape[0]), batch["actions"]]
@@ -340,9 +352,11 @@ class A2C(OnPolicyAlgo):
     def _build_update(self):
         cfg = self.cfg
         policy = self.policy
+        prep = self._prep
 
         def loss_fn(params, batch, rng):
-            logits, values = policy.apply({"params": params}, batch["obs"],
+            logits, values = policy.apply({"params": params},
+                                          prep(batch["obs"]),
                                           rngs=self._rngs(rng))
             logp_all = jax.nn.log_softmax(logits)
             logprob = logp_all[jnp.arange(logits.shape[0]), batch["actions"]]

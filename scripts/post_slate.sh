@@ -43,7 +43,7 @@ nohup python train_sb3.py ocr=slate pooling=transformer sb3=ppo sb3_acnet=mlp \
     sb3.algo_kwargs.ent_coef=0.01 \
     env=target-N4C4S3S1 env.mode=hard env.rew_type=sparse \
     pooling.ocr_checkpoint.local_file=pretrained_encoders/slate.ckpt \
-    "ocr.slotattr.fused=$FUSED" num_envs=16 max_steps=2e6 \
+    "ocr.slotattr.fused=$FUSED" num_envs=16 max_steps=2e6 eval.freq=2000 \
     > /tmp/post_slate/ppo.log 2>&1 &
 echo $! > /tmp/post_slate/ppo.pid
 echo "pipeline done; PPO launched (pid $(cat /tmp/post_slate/ppo.pid))"
