@@ -61,7 +61,17 @@ def build_sac_policy(config, action_space, seed: int = 0):
 
 def inject_pretrained_ocr(algo, ocr) -> None:
     """Replace the policy's fresh OCR params with the pretrained ones."""
+    import jax
+    import jax.numpy as jnp
+
     params = dict(algo.params)
+    if hasattr(algo, "S"):  # MultiSeedPPO: stacked leading seed axis
+        params["ocr_module"] = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (algo.S,) + x.shape) + 0,
+            ocr.params)
+        algo.params = params
+        algo.opt_state = jax.jit(jax.vmap(algo.tx.init))(algo.params)
+        return
     params["ocr_module"] = ocr.params
     algo.params = params
     algo.opt_state = algo.tx.init(algo.params)

@@ -1,0 +1,274 @@
+"""Vmapped multi-seed PPO: a seed sweep as ONE batched computation.
+
+The reference scales seed sweeps by launching one process per (model, env,
+seed) in a tmux pane (reference: run_sb3s.py:8-9,39-57).  On TPU the right
+axis for independent seeds is `jax.vmap`: S policies initialise, act, and
+update inside single jitted programs with a leading seed axis, so a 3-seed
+benchmark run costs roughly the same number of device round-trips as one
+seed (SURVEY §2.2: "Seed/model sweeps become jax.vmap ... instead of tmux").
+
+Per-seed semantics are EXACTLY single-seed PPO: each seed has its own
+parameters, optimizer state (including per-seed global-norm clipping — the
+optax chain runs inside the vmap), minibatch permutations, env group, and
+rng stream.  target_kl early-stopping is per-seed data-dependent control
+flow and is not supported here (the benchmark configs leave it null).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .ppo import PPOConfig
+
+
+class MultiSeedPPO:
+    def __init__(self, policy_module, obs_shape, is_image_obs: bool,
+                 num_envs: int, config: PPOConfig, seeds,
+                 freeze_ocr: bool = False):
+        if config.target_kl is not None:
+            raise ValueError("target_kl early-stop is per-seed control flow; "
+                             "use single-seed PPO for target_kl runs")
+        self.policy = policy_module
+        self.cfg = config
+        self.obs_shape = tuple(obs_shape)
+        self.is_image_obs = is_image_obs
+        self.num_envs = num_envs          # envs PER SEED
+        self.seeds = [int(s) for s in seeds]
+        self.S = len(self.seeds)
+        self._rng = jax.random.PRNGKey(int(self.seeds[0]) ^ 0x5EED)
+
+        dummy = jnp.zeros((1,) + self.obs_shape, jnp.float32)
+
+        def init_one(key):
+            rngs = {"params": key, "noise": jax.random.fold_in(key, 1),
+                    "noise2": jax.random.fold_in(key, 2),
+                    "dropout": jax.random.fold_in(key, 3)}
+            return policy_module.init(rngs, dummy)["params"]
+
+        seed_keys = jnp.stack([jax.random.PRNGKey(s) for s in self.seeds])
+        self.params = jax.jit(jax.vmap(init_one))(seed_keys)
+
+        tx = optax.chain(optax.clip_by_global_norm(config.max_grad_norm),
+                         optax.adam(config.learning_rate, eps=1e-5))
+        if freeze_ocr and "ocr_module" in self.params:
+            def labels(params):
+                return {k: jax.tree.map(
+                    lambda _: "frozen" if k == "ocr_module" else "train", sub)
+                    for k, sub in params.items()}
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()},
+                param_labels=labels)
+        self.tx = tx
+        self.opt_state = jax.jit(jax.vmap(tx.init))(self.params)
+        self.num_timesteps = 0            # TOTAL env steps across all seeds
+        self._build_fns()
+
+    # -- jitted programs (single-seed bodies, vmapped over the seed axis) -----
+
+    def _rngs(self, rng):
+        return {"noise": rng, "noise2": jax.random.fold_in(rng, 1),
+                "dropout": jax.random.fold_in(rng, 2)}
+
+    def _build_fns(self):
+        policy, cfg, is_image = self.policy, self.cfg, self.is_image_obs
+
+        def prep(obs):
+            obs = jnp.asarray(obs, jnp.float32)
+            return obs / 255.0 if is_image else obs
+
+        def act_one(params, obs, rng):
+            logits, value = policy.apply({"params": params}, prep(obs),
+                                         rngs=self._rngs(rng))
+            action = jax.random.categorical(jax.random.fold_in(rng, 7), logits)
+            logprob = jax.nn.log_softmax(logits)[
+                jnp.arange(logits.shape[0]), action]
+            return action, logprob, value
+
+        def act_det_one(params, obs, rng):
+            logits, _ = policy.apply({"params": params}, prep(obs),
+                                     rngs=self._rngs(rng))
+            return jnp.argmax(logits, -1)
+
+        def values_one(params, obs, rng):
+            _, value = policy.apply({"params": params}, prep(obs),
+                                    rngs=self._rngs(rng))
+            return value
+
+        def loss_fn(params, batch, rng):
+            logits, values = policy.apply({"params": params},
+                                          prep(batch["obs"]),
+                                          rngs=self._rngs(rng))
+            logp_all = jax.nn.log_softmax(logits)
+            logprob = logp_all[jnp.arange(logits.shape[0]), batch["actions"]]
+            entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+            adv = batch["advantages"]
+            if cfg.normalize_advantage and adv.shape[0] > 1:
+                adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            ratio = jnp.exp(logprob - batch["logprobs"])
+            unclipped = adv * ratio
+            clipped = adv * jnp.clip(ratio, 1 - cfg.clip_range, 1 + cfg.clip_range)
+            policy_loss = -jnp.minimum(unclipped, clipped).mean()
+            value_loss = ((batch["returns"] - values) ** 2).mean()
+            loss = policy_loss + cfg.vf_coef * value_loss - cfg.ent_coef * entropy
+            approx_kl = ((ratio - 1) - jnp.log(ratio)).mean()
+            return loss, {"policy_loss": policy_loss, "value_loss": value_loss,
+                          "entropy": entropy, "approx_kl": approx_kl,
+                          "loss": loss}
+
+        def update_one(params, opt_state, data, idx, rng):
+            minibatch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, minibatch, rng)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        self._act = jax.jit(jax.vmap(act_one))
+        self._act_det_one = jax.jit(act_det_one)
+        self._values = jax.jit(jax.vmap(values_one))
+        self._update = jax.jit(jax.vmap(update_one), donate_argnums=(0, 1))
+        self._prep = prep
+
+    def _next_rng(self):
+        self._rng, rng = jax.random.split(self._rng)
+        return rng
+
+    def _seed_keys(self, rng):
+        return jax.random.split(rng, self.S)
+
+    # -- rollout ---------------------------------------------------------------
+
+    def collect_rollout(self, vec_env, obs, n_steps: int,
+                        step_callback: Optional[Callable] = None):
+        """vec_env has S*num_envs envs: envs [i*E .. (i+1)*E) belong to seed i."""
+        S, E = self.S, self.num_envs
+        cfg = self.cfg
+        assert vec_env.num_envs == S * E
+        obs_dtype = np.uint8 if self.is_image_obs else np.float32
+        buf_obs = np.empty((n_steps, S, E) + obs.shape[1:], obs_dtype)
+        buf_actions = np.empty((n_steps, S, E), np.int32)
+        buf_logprobs = np.empty((n_steps, S, E), np.float32)
+        buf_values = np.empty((n_steps, S, E), np.float32)
+        buf_rewards = np.empty((n_steps, S, E), np.float32)
+        buf_dones = np.empty((n_steps, S, E), np.float32)
+        ep_infos = [[] for _ in range(S)]
+
+        self._rng, sub = jax.random.split(self._rng)
+        step_keys = jax.random.split(sub, n_steps + 1)
+
+        for t in range(n_steps):
+            grouped = obs.reshape((S, E) + obs.shape[1:])
+            outs = self._act(self.params, jnp.asarray(grouped),
+                             self._seed_keys(step_keys[t]))
+            action, logprob, value = jax.device_get(outs)
+            buf_obs[t] = grouped
+            buf_actions[t] = action
+            buf_logprobs[t] = logprob
+            buf_values[t] = value
+            next_obs, rewards, dones, infos = vec_env.step(action.reshape(-1))
+            buf_rewards[t] = rewards.reshape(S, E)
+            buf_dones[t] = dones.reshape(S, E)
+            for i, info in enumerate(infos):
+                if "is_success" in info and "terminal_observation" in info:
+                    ep_infos[i // E].append(info)
+            self.num_timesteps += S * E
+            obs = next_obs
+            if step_callback is not None:
+                step_callback(self)
+
+        grouped = obs.reshape((S, E) + obs.shape[1:])
+        last_values = np.asarray(self._values(
+            self.params, jnp.asarray(grouped),
+            self._seed_keys(self._next_rng())))
+
+        advantages = np.zeros_like(buf_rewards)
+        gae = np.zeros((S, E), np.float32)
+        for t in reversed(range(n_steps)):
+            next_v = last_values if t == n_steps - 1 else buf_values[t + 1]
+            nonterminal = 1.0 - buf_dones[t]
+            delta = buf_rewards[t] + cfg.gamma * next_v * nonterminal - buf_values[t]
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            advantages[t] = gae
+        returns = advantages + buf_values
+
+        def per_seed(a):  # (n_steps, S, E, ...) -> (S, n_steps*E, ...)
+            return np.ascontiguousarray(a.swapaxes(0, 1)).reshape(
+                (S, n_steps * E) + a.shape[3:])
+
+        batch = {"obs": per_seed(buf_obs), "actions": per_seed(buf_actions),
+                 "logprobs": per_seed(buf_logprobs),
+                 "values": per_seed(buf_values),
+                 "advantages": per_seed(advantages),
+                 "returns": per_seed(returns)}
+        return obs, batch, ep_infos
+
+    # -- updates ---------------------------------------------------------------
+
+    def train_on_rollout(self, batch: dict) -> dict:
+        cfg, S = self.cfg, self.S
+        n = batch["obs"].shape[1]
+        data = {k: jnp.asarray(v) for k, v in batch.items()}
+        rng_np = np.random.default_rng(int(jax.random.randint(
+            self._next_rng(), (), 0, 2 ** 31 - 1)))
+        metrics = {}
+        for _ in range(cfg.n_epochs):
+            perms = np.stack([rng_np.permutation(n) for _ in range(S)])
+            for start in range(0, n, cfg.batch_size):
+                idx = jnp.asarray(perms[:, start:start + cfg.batch_size])
+                self.params, self.opt_state, metrics = self._update(
+                    self.params, self.opt_state, data, idx,
+                    self._seed_keys(self._next_rng()))
+        return {k: np.asarray(v) for k, v in metrics.items()}  # (S,) per key
+
+    def learn(self, vec_env, total_timesteps: int,
+              iteration_callback: Optional[Callable] = None,
+              step_callback: Optional[Callable] = None):
+        obs = vec_env.reset()
+        n_steps = max(self.cfg.n_steps // self.num_envs, 1)
+        while self.num_timesteps < total_timesteps * self.S:
+            obs, batch, ep_infos = self.collect_rollout(
+                vec_env, obs, n_steps, step_callback)
+            metrics = self.train_on_rollout(batch)
+            if iteration_callback is not None:
+                iteration_callback(self, metrics, ep_infos)
+        return self
+
+    # -- per-seed views (eval / checkpointing) ---------------------------------
+
+    def seed_view(self, i: int) -> "_SeedView":
+        return _SeedView(self, i)
+
+    def save(self) -> dict:
+        return {"policy_params": self.params, "opt_state": self.opt_state,
+                "num_timesteps": self.num_timesteps, "seeds": self.seeds}
+
+    def load(self, ckpt: dict) -> None:
+        self.params = ckpt["policy_params"]
+        if "opt_state" in ckpt:
+            self.opt_state = ckpt["opt_state"]
+        self.num_timesteps = int(ckpt.get("num_timesteps", 0))
+
+
+class _SeedView:
+    """predict() facade for one seed of a MultiSeedPPO (used by the
+    vectorised evaluator and test_sb3)."""
+
+    def __init__(self, algo: MultiSeedPPO, i: int):
+        self._algo = algo
+        self._i = i
+        self.obs_shape = algo.obs_shape
+
+    def predict(self, obs, deterministic: bool = True):
+        algo, i = self._algo, self._i
+        obs = jnp.asarray(np.asarray(obs))
+        squeeze = obs.ndim == len(algo.obs_shape)
+        if squeeze:
+            obs = obs[None]
+        params_i = jax.tree.map(lambda x: x[i], algo.params)
+        action = np.asarray(algo._act_det_one(params_i, obs, algo._next_rng()))
+        return action[0] if squeeze else action

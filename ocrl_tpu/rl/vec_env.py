@@ -143,3 +143,16 @@ class SubprocVecEnv:
                 pass
         for p in self.procs:
             p.join(timeout=2)
+
+
+def make_multi_seed_vec_env(env_ctor, env_config, num_envs: int, seeds,
+                            mode: str = "auto"):
+    """One vec env hosting `len(seeds)` independent env groups: envs
+    [i*num_envs, (i+1)*num_envs) are seeded seeds[i]+rank — the layout
+    MultiSeedPPO's vmapped rollout expects."""
+    fns = [(lambda s: (lambda: env_ctor(env_config, s)))(int(seed) + rank)
+           for seed in seeds for rank in range(num_envs)]
+    if mode == "subproc" or (
+            mode == "auto" and len(fns) > 1 and (os.cpu_count() or 1) > 2):
+        return SubprocVecEnv(fns)
+    return VecEnv(fns)

@@ -197,3 +197,49 @@ def test_vectorized_eval(ppo_setup):
     env = envs.TargetEnv(cfg.env, seed=51)
     m2 = evaluate_policy(algo, env, n_episodes=2)
     assert 0.0 <= m2["success_rate"] <= 1.0
+
+
+def test_multi_seed_ppo_vmapped():
+    """MultiSeedPPO: S seeds as one vmapped computation — per-seed params
+    diverge, metrics come back (S,), seed views predict, checkpoints
+    roundtrip (SURVEY §2.2: seed sweeps via jax.vmap, not tmux)."""
+    import jax
+    from ocrl_tpu.rl.multi_seed import MultiSeedPPO
+    from ocrl_tpu.rl.vec_env import make_multi_seed_vec_env
+    from ocrl_tpu.rl import inject_pretrained_ocr
+
+    cfg = gt_config()
+    seeds = [11, 22]
+    vec = make_multi_seed_vec_env(envs.TargetEnv, cfg.env, 2, seeds,
+                                  mode="dummy")
+    assert vec.num_envs == 4
+    policy, ocr, freeze, pretrained = build_policy(cfg, seed=0)
+    algo = MultiSeedPPO(policy, vec.observation_space.shape, False, 2,
+                        PPOConfig(n_steps=16, batch_size=8, n_epochs=2),
+                        seeds, freeze_ocr=freeze)
+
+    # every param leaf carries the seed axis; some leaf differs across seeds
+    leaves = jax.tree.leaves(algo.params)
+    assert all(l.shape[0] == 2 for l in leaves)
+    assert any(not np.allclose(np.asarray(l[0]), np.asarray(l[1]))
+               for l in leaves)
+
+    iters = []
+    algo.learn(vec, total_timesteps=64,
+               iteration_callback=lambda a, m, infos: iters.append((m, infos)))
+    m, infos = iters[-1]
+    assert np.asarray(m["loss"]).shape == (2,)
+    assert isinstance(infos, list) and len(infos) == 2
+    assert algo.num_timesteps >= 64 * 2
+
+    act = algo.seed_view(1).predict(vec.reset()[0])
+    assert int(act) in range(4)
+
+    ckpt = algo.save()
+    algo2 = MultiSeedPPO(policy, vec.observation_space.shape, False, 2,
+                         PPOConfig(n_steps=16, batch_size=8, n_epochs=2),
+                         seeds, freeze_ocr=freeze)
+    algo2.load(ckpt)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), algo.params, algo2.params)
+    vec.close()

@@ -41,8 +41,23 @@ def main(config):
         config.env.render_mode = "state"
 
     env_ctor = getattr(envs, config.env.env)
-    vec_env = make_vec_env(env_ctor, config.env, config.num_envs, seed=config.seed,
-                           mode=config.get("vec_env", "auto"))
+    # "seeds=1234,2345,3456" trains all seeds as ONE vmapped computation
+    # (rl/multi_seed.py) instead of the reference's one-process-per-seed tmux
+    # sweep (reference: run_sb3s.py:39-57)
+    seeds_cfg = config.get("seeds")
+    multi_seeds = ([int(s) for s in str(seeds_cfg).split(",")]
+                   if seeds_cfg not in (None, "", "null") else None)
+    if multi_seeds and config.sb3.name != "PPO":
+        raise ValueError("seeds= (vmapped multi-seed) is PPO-only")
+    if multi_seeds:
+        from ocrl_tpu.rl.vec_env import make_multi_seed_vec_env
+        vec_env = make_multi_seed_vec_env(env_ctor, config.env, config.num_envs,
+                                          multi_seeds,
+                                          mode=config.get("vec_env", "auto"))
+    else:
+        vec_env = make_vec_env(env_ctor, config.env, config.num_envs,
+                               seed=config.seed,
+                               mode=config.get("vec_env", "auto"))
     # eval episodes run BATCHED over a vec env (one policy call steps all of
     # them) — n_episodes x episode_length serial policy round-trips would
     # dominate wall-clock (reference evaluates 100 episodes per 1000 steps)
@@ -71,7 +86,13 @@ def main(config):
                    action_low=space.low, action_high=space.high)
     else:
         policy, ocr, freeze, pretrained = build_policy(config, seed=config.seed)
-        if config.sb3.name == "PPO":
+        if multi_seeds:
+            from ocrl_tpu.rl.multi_seed import MultiSeedPPO
+            algo = MultiSeedPPO(
+                policy, obs_shape, is_image_obs, config.num_envs,
+                PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
+                multi_seeds, freeze_ocr=freeze)
+        elif config.sb3.name == "PPO":
             algo = PPO(policy, obs_shape, is_image_obs, config.num_envs,
                        PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
                        seed=config.seed, freeze_ocr=freeze)
@@ -91,12 +112,26 @@ def main(config):
     models_dir.mkdir(parents=True, exist_ok=True)
     state = {"best_success": -1.0, "vec_steps": 0}
 
+    def run_eval(algo):
+        if multi_seeds:
+            per_seed = [evaluate_policy(algo.seed_view(i), eval_env,
+                                        n_episodes=config.eval.n_episodes)
+                        for i in range(len(multi_seeds))]
+            metrics = {k: float(np.mean([m[k] for m in per_seed]))
+                       for k in per_seed[0]}
+            for s, m in zip(multi_seeds, per_seed):
+                logger.log({f"eval/seed{s}/{k}": v for k, v in m.items()},
+                           step=algo.num_timesteps)
+        else:
+            metrics = evaluate_policy(algo, eval_env,
+                                      n_episodes=config.eval.n_episodes)
+        return metrics
+
     def step_callback(algo):
         state["vec_steps"] += 1
         video.maybe_record(vec_env, algo.num_timesteps)
         if state["vec_steps"] % config.eval.freq == 0:
-            metrics = evaluate_policy(algo, eval_env,
-                                      n_episodes=config.eval.n_episodes)
+            metrics = run_eval(algo)
             logger.log({f"eval/{k}": v for k, v in metrics.items()},
                        step=algo.num_timesteps)
             log.info("[%d steps] eval success %.3f reward %.3f",
@@ -109,8 +144,23 @@ def main(config):
                                  "success_rate": metrics["success_rate"]})
 
     def iteration_callback(algo, metrics, ep_infos):
-        payload = {f"train/{k}": v for k, v in metrics.items()}
-        if ep_infos:
+        payload = {}
+        for k, v in metrics.items():
+            arr = np.asarray(v).reshape(-1)
+            payload[f"train/{k}"] = float(arr.mean())
+            if multi_seeds and arr.size == len(multi_seeds):
+                for s, vi in zip(multi_seeds, arr):
+                    payload[f"train/seed{s}/{k}"] = float(vi)
+        if ep_infos and multi_seeds:
+            for s, infos_i in zip(multi_seeds, ep_infos):
+                if infos_i:
+                    payload[f"rollout/seed{s}/success_rate"] = float(
+                        np.mean([i["is_success"] for i in infos_i]))
+            flat = [i for infos_i in ep_infos for i in infos_i]
+            if flat:
+                payload["rollout/success_rate"] = float(
+                    np.mean([i["is_success"] for i in flat]))
+        elif ep_infos:
             payload["rollout/success_rate"] = float(
                 np.mean([i["is_success"] for i in ep_infos]))
         logger.log(payload, step=algo.num_timesteps)
