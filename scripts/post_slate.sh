@@ -39,11 +39,14 @@ timeout 2400 python get_ari_mse.py ocr=slate dataset=random-N5C4S4S2 \
     "ocr.slotattr.fused=$FUSED" \
     > /tmp/post_slate/ari.log 2>&1
 
+# the benchmark cell: SLATE x Object Goal, the reference's 3 seeds
+# (run_sb3s.py:9) trained as ONE vmapped computation
 nohup python train_sb3.py ocr=slate pooling=transformer sb3=ppo sb3_acnet=mlp \
     sb3.algo_kwargs.ent_coef=0.01 \
     env=target-N4C4S3S1 env.mode=hard env.rew_type=sparse \
     pooling.ocr_checkpoint.local_file=pretrained_encoders/slate.ckpt \
-    "ocr.slotattr.fused=$FUSED" num_envs=16 max_steps=2e6 eval.freq=2000 \
+    "ocr.slotattr.fused=$FUSED" seeds=1234,2345,3456 num_envs=8 \
+    max_steps=2e6 eval.freq=3000 \
     > /tmp/post_slate/ppo.log 2>&1 &
 echo $! > /tmp/post_slate/ppo.pid
 echo "pipeline done; PPO launched (pid $(cat /tmp/post_slate/ppo.pid))"
