@@ -27,10 +27,15 @@ class SlotAttention(nn.Module):
     mlp_hidden_size: int
     num_heads: int
     epsilon: float = 1e-8
-    # fused Pallas routing kernel (ops/slot_routing.py): "auto" uses it on the
-    # TPU backend (single-head only); "always" forces it (interpret mode off
-    # TPU — tests); "never" keeps the pure-jnp loop below.
-    fused: str = "auto"
+    # fused Pallas routing kernel (ops/slot_routing.py): "never" (default)
+    # keeps the pure-jnp loop below; "always" forces the kernel (interpret
+    # mode off TPU — tests).  Default is OFF because at real SLATE shapes the
+    # routing input is the full 64x64 CNN feature map (N=4096, D=192): k+v
+    # alone are 12.6 MB and the whole-N kernel exceeds the 16 MB VMEM budget
+    # (measured on v5e: 20.05M scoped > 16M limit).  The fix — HBM-resident
+    # k/v with chunked passes and two-phase renorm accumulation — is the
+    # ROADMAP item; the kernel + hand-derived bwd stay as its groundwork.
+    fused: str = "never"
 
     def setup(self):
         self.norm_inputs = nn.LayerNorm()
@@ -60,10 +65,10 @@ class SlotAttention(nn.Module):
         k = self.project_k(inputs).reshape(B, N_kv, H, hd) * hd ** -0.5
         v = self.project_v(inputs).reshape(B, N_kv, H, hd)
 
+        # "auto" currently resolves to the jnp path (see the `fused` field
+        # comment: whole-N VMEM residency OOMs at N=4096 on real hardware)
         use_fused = (H == 1 and not self.is_initializing()
-                     and (self.fused == "always" or
-                          (self.fused == "auto"
-                           and jax.default_backend() == "tpu")))
+                     and self.fused == "always")
         if use_fused:
             from ocrl_tpu.ops.slot_routing import slot_routing
 
@@ -129,7 +134,7 @@ class SlotAttentionEncoder(nn.Module):
     slot_size: int
     mlp_hidden_size: int
     num_heads: int
-    fused: str = "auto"
+    fused: str = "never"
 
     def setup(self):
         self.layer_norm = nn.LayerNorm()

@@ -5,7 +5,10 @@ slotattr.fused=auto on the current backend and checks the loss is finite and
 close to the jnp path.  Exit code 0 = fused kernel OK.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -25,7 +28,7 @@ def main() -> int:
     obs = np.random.default_rng(0).random((8, 16, 16, 3)).astype("float32")
 
     losses = {}
-    for fused in ("auto", "never"):
+    for fused in ("always", "never"):
         cfg = compose("train_ocr", tiny + [f"ocr.slotattr.fused={fused}"])
         model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
         m = model.update(obs, None, 0)
@@ -33,8 +36,8 @@ def main() -> int:
         if not np.isfinite(losses[fused]):
             print(f"smoke_fused: non-finite loss with fused={fused}")
             return 1
-    rel = abs(losses["auto"] - losses["never"]) / max(abs(losses["never"]), 1e-6)
-    print(f"smoke_fused: loss fused={losses['auto']:.6f} "
+    rel = abs(losses["always"] - losses["never"]) / max(abs(losses["never"]), 1e-6)
+    print(f"smoke_fused: loss fused={losses['always']:.6f} "
           f"jnp={losses['never']:.6f} rel={rel:.2e}")
     return 0 if rel < 1e-3 else 1
 
