@@ -40,7 +40,8 @@ def main(config):
     # SLATE's headline MSE is the autoregressive reconstruction
     # (reference: slate_module.py:234-238 with_mse -> _gen_imgs)
     gen_mse_fn = None
-    if config.ocr.name == "SLATE" and not config.ocr.use_bcdec:
+    if (config.ocr.name == "SLATE" and not config.ocr.use_bcdec
+            and config.get("with_gen_mse", True)):
         module = ocr.spec.module
 
         def gen_mse(params, obs, rng):
