@@ -128,10 +128,35 @@ class MultiSeedPPO:
             params = optax.apply_updates(params, updates)
             return params, opt_state, metrics
 
+        def epochs_update(params, opt_state, data, perm_idx, rng):
+            """The WHOLE PPO update phase — n_epochs x n_minibatches steps,
+            every seed — as ONE dispatch: lax.scan over the flattened
+            minibatch schedule, vmapped single-seed update inside.  On a
+            latency-bound transport this replaces ~n_epochs*n_mb host
+            round-trips per rollout with one."""
+
+            def body(carry, xs):
+                params, opt_state = carry
+                i, idx = xs          # idx: (S, B) per-seed minibatch rows
+                keys = jax.random.split(jax.random.fold_in(rng, i),
+                                        idx.shape[0])
+                params, opt_state, metrics = jax.vmap(
+                    update_one, in_axes=(0, 0, 0, 0, 0))(
+                        params, opt_state, data, idx, keys)
+                return (params, opt_state), metrics
+
+            n_total = perm_idx.shape[0]
+            (params, opt_state), metrics = jax.lax.scan(
+                body, (params, opt_state),
+                (jnp.arange(n_total), perm_idx))
+            last = jax.tree.map(lambda m: m[-1], metrics)
+            return params, opt_state, last
+
         self._act = jax.jit(jax.vmap(act_one))
         self._act_det_one = jax.jit(act_det_one)
         self._values = jax.jit(jax.vmap(values_one))
         self._update = jax.jit(jax.vmap(update_one), donate_argnums=(0, 1))
+        self._epochs_update = jax.jit(epochs_update, donate_argnums=(0, 1))
         self._prep = prep
 
     def _next_rng(self):
@@ -215,6 +240,20 @@ class MultiSeedPPO:
         data = {k: jnp.asarray(v) for k, v in batch.items()}
         rng_np = np.random.default_rng(int(jax.random.randint(
             self._next_rng(), (), 0, 2 ** 31 - 1)))
+        if n % cfg.batch_size == 0:
+            # one dispatch for the whole update phase: precompute the
+            # per-epoch per-seed minibatch schedule and scan it on device
+            n_mb = n // cfg.batch_size
+            perm_idx = np.stack([
+                np.stack([rng_np.permutation(n) for _ in range(S)])
+                for _ in range(cfg.n_epochs)])          # (E, S, n)
+            perm_idx = perm_idx.reshape(
+                cfg.n_epochs, S, n_mb, cfg.batch_size).swapaxes(1, 2).reshape(
+                cfg.n_epochs * n_mb, S, cfg.batch_size)
+            self.params, self.opt_state, metrics = self._epochs_update(
+                self.params, self.opt_state, data,
+                jnp.asarray(perm_idx, jnp.int32), self._next_rng())
+            return {k: np.asarray(v) for k, v in metrics.items()}
         metrics = {}
         for _ in range(cfg.n_epochs):
             perms = np.stack([rng_np.permutation(n) for _ in range(S)])
