@@ -78,10 +78,18 @@ def main() -> None:
         import sys
         import traceback
 
+        from ocrl_tpu.config import compose
+
+        # only retry if the override actually changes the resolved config —
+        # recomposing an identical config would just re-run the same failing
+        # path and mask the original error class
+        cfg = compose("train_ocr", ["ocr=slate", "dataset=random-N5C4S4S2"])
+        if str(cfg.ocr.slotattr.get("fused", "never")) == "never":
+            raise
         traceback.print_exc()
         print(f"bench: retrying with ocr.slotattr.fused=never ({e!r})",
               file=sys.stderr)
-        _run(["+ocr.slotattr.fused=never"])
+        _run(["ocr.slotattr.fused=never"])
 
 
 def _run(extra_overrides) -> None:

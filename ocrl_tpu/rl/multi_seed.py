@@ -40,7 +40,11 @@ class MultiSeedPPO:
         self.num_envs = num_envs          # envs PER SEED
         self.seeds = [int(s) for s in seeds]
         self.S = len(self.seeds)
-        self._rng = jax.random.PRNGKey(int(self.seeds[0]) ^ 0x5EED)
+        # Host-side key source: any uint32 pair is a valid threefry key, so
+        # rollout/update keys are drawn with numpy — the per-step
+        # jax.random.split device dispatches (one extra ~latency-bound round
+        # trip per rollout step over the dev transport) disappear.
+        self._np_rng = np.random.default_rng(int(self.seeds[0]) ^ 0x5EED)
 
         dummy = jnp.zeros((1,) + self.obs_shape, jnp.float32)
 
@@ -93,6 +97,11 @@ class MultiSeedPPO:
             logits, _ = policy.apply({"params": params}, prep(obs),
                                      rngs=self._rngs(rng))
             return jnp.argmax(logits, -1)
+
+        def act_sample_one(params, obs, rng):
+            logits, _ = policy.apply({"params": params}, prep(obs),
+                                     rngs=self._rngs(rng))
+            return jax.random.categorical(jax.random.fold_in(rng, 7), logits)
 
         def values_one(params, obs, rng):
             _, value = policy.apply({"params": params}, prep(obs),
@@ -153,18 +162,24 @@ class MultiSeedPPO:
             return params, opt_state, last
 
         self._act = jax.jit(jax.vmap(act_one))
+        self._act_det = jax.jit(jax.vmap(act_det_one))
         self._act_det_one = jax.jit(act_det_one)
+        self._act_sample_one = jax.jit(act_sample_one)
         self._values = jax.jit(jax.vmap(values_one))
         self._update = jax.jit(jax.vmap(update_one), donate_argnums=(0, 1))
         self._epochs_update = jax.jit(epochs_update, donate_argnums=(0, 1))
         self._prep = prep
 
-    def _next_rng(self):
-        self._rng, rng = jax.random.split(self._rng)
-        return rng
+    def _np_key(self, n: Optional[int] = None) -> np.ndarray:
+        """Raw threefry key(s) drawn on the host — no device dispatch."""
+        shape = (2,) if n is None else (n, 2)
+        return self._np_rng.integers(0, 2 ** 32, size=shape, dtype=np.uint32)
 
-    def _seed_keys(self, rng):
-        return jax.random.split(rng, self.S)
+    def _next_rng(self):
+        return jnp.asarray(self._np_key())
+
+    def _seed_keys(self, rng=None):
+        return jnp.asarray(self._np_key(self.S))
 
     # -- rollout ---------------------------------------------------------------
 
@@ -183,13 +198,14 @@ class MultiSeedPPO:
         buf_dones = np.empty((n_steps, S, E), np.float32)
         ep_infos = [[] for _ in range(S)]
 
-        self._rng, sub = jax.random.split(self._rng)
-        step_keys = jax.random.split(sub, n_steps + 1)
+        # all rollout keys drawn host-side up front: the only device
+        # interactions per env step are ONE act dispatch + ONE fetch
+        step_keys = self._np_key((n_steps + 1) * S).reshape(n_steps + 1, S, 2)
 
         for t in range(n_steps):
             grouped = obs.reshape((S, E) + obs.shape[1:])
             outs = self._act(self.params, jnp.asarray(grouped),
-                             self._seed_keys(step_keys[t]))
+                             jnp.asarray(step_keys[t]))
             action, logprob, value = jax.device_get(outs)
             buf_obs[t] = grouped
             buf_actions[t] = action
@@ -209,7 +225,7 @@ class MultiSeedPPO:
         grouped = obs.reshape((S, E) + obs.shape[1:])
         last_values = np.asarray(self._values(
             self.params, jnp.asarray(grouped),
-            self._seed_keys(self._next_rng())))
+            jnp.asarray(step_keys[n_steps])))
 
         advantages = np.zeros_like(buf_rewards)
         gae = np.zeros((S, E), np.float32)
@@ -238,8 +254,7 @@ class MultiSeedPPO:
         cfg, S = self.cfg, self.S
         n = batch["obs"].shape[1]
         data = {k: jnp.asarray(v) for k, v in batch.items()}
-        rng_np = np.random.default_rng(int(jax.random.randint(
-            self._next_rng(), (), 0, 2 ** 31 - 1)))
+        rng_np = self._np_rng
         if n % cfg.batch_size == 0:
             # one dispatch for the whole update phase: precompute the
             # per-epoch per-seed minibatch schedule and scan it on device
@@ -287,10 +302,61 @@ class MultiSeedPPO:
                 "num_timesteps": self.num_timesteps, "seeds": self.seeds}
 
     def load(self, ckpt: dict) -> None:
+        saved = [int(s) for s in ckpt.get("seeds", self.seeds)]
+        if saved != self.seeds:
+            raise ValueError(
+                f"checkpoint was trained with seeds={saved} but this run has "
+                f"seeds={self.seeds} — per-seed params would be misattributed")
         self.params = ckpt["policy_params"]
         if "opt_state" in ckpt:
             self.opt_state = ckpt["opt_state"]
         self.num_timesteps = int(ckpt.get("num_timesteps", 0))
+
+    # -- batched cross-seed evaluation ----------------------------------------
+
+    def evaluate_all(self, env, n_episodes: int = 100,
+                     deterministic: bool = False) -> list:
+        """Evaluate EVERY seed at once on a multi-seed vec env (layout: envs
+        [i*E, (i+1)*E) belong to seed i) — one vmapped policy call steps all
+        seeds' eval episodes, so an S-seed eval costs the round trips of a
+        single-seed one.  The reference evaluates stochastically
+        (EvalCallback deterministic=False); SB3 per-env episode-count
+        semantics as in evaluate.py."""
+        S = self.S
+        assert env.num_envs % S == 0
+        E = env.num_envs // S
+        targets = np.array([n_episodes // E + (1 if i < n_episodes % E else 0)
+                            for i in range(E)])
+        counts = np.zeros((S, E), np.int64)
+        ep_return = np.zeros((S, E), np.float64)
+        ep_len = np.zeros((S, E), np.int64)
+        per_seed = [{"successes": [], "returns": [], "lengths": []}
+                    for _ in range(S)]
+        obs = env.reset()
+        act_fn = self._act_det if deterministic else self._act
+        while (counts < targets[None, :]).any():
+            grouped = obs.reshape((S, E) + obs.shape[1:])
+            out = act_fn(self.params, jnp.asarray(grouped),
+                         jnp.asarray(self._np_key(S)))
+            actions = np.asarray(out[0] if isinstance(out, tuple) else out)
+            obs, rewards, dones, infos = env.step(actions.reshape(-1))
+            ep_return += rewards.reshape(S, E)
+            ep_len += 1
+            for flat in np.nonzero(dones)[0]:
+                s, i = divmod(int(flat), E)
+                if counts[s, i] < targets[i]:
+                    counts[s, i] += 1
+                    acc = per_seed[s]
+                    acc["returns"].append(ep_return[s, i])
+                    acc["lengths"].append(ep_len[s, i])
+                    acc["successes"].append(
+                        float(infos[flat].get("is_success", False)))
+                ep_return[s, i] = 0.0
+                ep_len[s, i] = 0
+        return [{"success_rate": float(np.mean(a["successes"])),
+                 "mean_reward": float(np.mean(a["returns"])),
+                 "mean_ep_length": float(np.mean(a["lengths"]))}
+                for a in per_seed]
 
 
 class _SeedView:
@@ -309,5 +375,8 @@ class _SeedView:
         if squeeze:
             obs = obs[None]
         params_i = jax.tree.map(lambda x: x[i], algo.params)
-        action = np.asarray(algo._act_det_one(params_i, obs, algo._next_rng()))
+        # the reference evaluates stochastically (EvalCallback
+        # deterministic=False) — honor the flag rather than always argmaxing
+        fn = algo._act_det_one if deterministic else algo._act_sample_one
+        action = np.asarray(fn(params_i, obs, algo._next_rng()))
         return action[0] if squeeze else action

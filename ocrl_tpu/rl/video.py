@@ -29,7 +29,11 @@ class VideoRecorder:
             self._frames.append(np.asarray(vec_env.render_frame(), np.uint8))
             if len(self._frames) >= self.length:
                 self._flush()
-                self._next_trigger = self._start_step + self.interval
+                # schedule RELATIVE TO NOW: with many envs, num_timesteps
+                # advances num_envs per frame, so `start + interval` can
+                # already be in the past — which would re-trigger instantly
+                # and record (+ GIF-encode) continuously
+                self._next_trigger = num_timesteps + self.interval
 
     def _flush(self) -> None:
         if self._frames:

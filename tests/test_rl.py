@@ -235,6 +235,26 @@ def test_multi_seed_ppo_vmapped():
     act = algo.seed_view(1).predict(vec.reset()[0])
     assert int(act) in range(4)
 
+    # stochastic predict (the reference's eval protocol) varies across keys;
+    # deterministic predict is argmax and repeatable
+    obs0 = vec.reset()[0]
+    det = [int(algo.seed_view(0).predict(obs0, deterministic=True))
+           for _ in range(5)]
+    assert len(set(det)) == 1
+    sto = [int(algo.seed_view(0).predict(obs0, deterministic=False))
+           for _ in range(25)]
+    assert all(a in range(4) for a in sto)
+
+    # batched cross-seed eval: one vmapped act steps every seed's episodes
+    eval_vec = make_multi_seed_vec_env(envs.TargetEnv, cfg.env, 2,
+                                       [s + 100 for s in seeds], mode="dummy")
+    per_seed = algo.evaluate_all(eval_vec, n_episodes=4)
+    assert len(per_seed) == 2
+    for m in per_seed:
+        assert 0.0 <= m["success_rate"] <= 1.0
+        assert m["mean_ep_length"] >= 1.0
+    eval_vec.close()
+
     ckpt = algo.save()
     algo2 = MultiSeedPPO(policy, vec.observation_space.shape, False, 2,
                          PPOConfig(n_steps=16, batch_size=8, n_epochs=2),
@@ -242,4 +262,11 @@ def test_multi_seed_ppo_vmapped():
     algo2.load(ckpt)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), algo.params, algo2.params)
+
+    # seed-list mismatch on load is an error (misattributed per-seed params)
+    algo3 = MultiSeedPPO(policy, vec.observation_space.shape, False, 2,
+                         PPOConfig(n_steps=16, batch_size=8, n_epochs=2),
+                         [33, 44], freeze_ocr=freeze)
+    with pytest.raises(ValueError, match="seeds"):
+        algo3.load(ckpt)
     vec.close()

@@ -70,14 +70,19 @@ def main(config):
 
     superbatch = int(config.get("superbatch", 8))
     batch_size = int(config.batch_size)
+    tracing = False
     while epoch < config.max_epochs:
         t0, imgs = time.time(), 0
         for batch in prefetch_to_device(train_dl, size=2, superbatch=superbatch,
                                         yield_whole=True):
-            if profile_dir and 10 <= step < 10 + superbatch:
+            # explicit flag: with superbatch>1 the step counter jumps in
+            # k-strides, so window-membership tests on `step` alone can fire
+            # the stop before the start ever ran
+            if profile_dir and not tracing and step >= 10:
                 import jax
 
                 jax.profiler.start_trace(profile_dir)
+                tracing = True
             masks = batch.get("masks")
             k = batch["obss"].shape[0] // batch_size
             if k > 1:
@@ -89,12 +94,14 @@ def main(config):
             imgs += batch["obss"].shape[0]
             pending.append((step, k, metrics))
             prev_step, step = step, step + k
-            if profile_dir and prev_step < 15 <= step:
+            if tracing and step >= 15 + superbatch:
                 import jax
 
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
+                tracing = False
                 log.info("profiler trace written to %s", profile_dir)
+                profile_dir = None          # one window per run
             if step // log_interval != prev_step // log_interval or prev_step < 3:
                 flush_pending()
                 rate = imgs / (time.time() - t0)

@@ -61,11 +61,20 @@ def main(config):
     # eval episodes run BATCHED over a vec env (one policy call steps all of
     # them) — n_episodes x episode_length serial policy round-trips would
     # dominate wall-clock (reference evaluates 100 episodes per 1000 steps)
-    n_eval_envs = min(int(config.eval.n_episodes),
-                      int(config.eval.get("num_envs", 20)))
-    eval_env = make_vec_env(env_ctor, config.env, n_eval_envs,
-                            seed=config.seed + config.num_envs,
-                            mode=config.get("vec_env", "auto"))
+    if multi_seeds:
+        # one env group per seed, same per-seed env count as training so the
+        # vmapped act graph is reused (no second compile); ALL seeds evaluate
+        # in the same batched policy calls (multi_seed.evaluate_all)
+        eval_env = make_multi_seed_vec_env(
+            env_ctor, config.env, config.num_envs,
+            [s + 100000 for s in multi_seeds],
+            mode=config.get("vec_env", "auto"))
+    else:
+        n_eval_envs = min(int(config.eval.n_episodes),
+                          int(config.eval.get("num_envs", 20)))
+        eval_env = make_vec_env(env_ctor, config.env, n_eval_envs,
+                                seed=config.seed + config.num_envs,
+                                mode=config.get("vec_env", "auto"))
     is_image_obs = config.env.render_mode != "state"
 
     obs_shape = vec_env.observation_space.shape
@@ -106,6 +115,16 @@ def main(config):
     if pretrained:
         inject_pretrained_ocr(algo, ocr)
 
+    # `+resume=<path-to-latest_model.ckpt>` continues an earlier run: params,
+    # optimizer state, and num_timesteps are restored (multi-seed checkpoints
+    # also validate the seeds list matches)
+    resume_path = config.get("resume")
+    if resume_path not in (None, "", "null"):
+        ckpt, meta = load_checkpoint(Path(str(resume_path)), algo.save())
+        algo.load(ckpt)
+        log.info("resumed from %s at %d timesteps", resume_path,
+                 algo.num_timesteps)
+
     video = VideoRecorder(Path(run.dir) / "videos",
                           config.video.interval, config.video.length)
     models_dir = Path(run.dir) / "models"
@@ -114,14 +133,15 @@ def main(config):
 
     def run_eval(algo):
         if multi_seeds:
-            per_seed = [evaluate_policy(algo.seed_view(i), eval_env,
-                                        n_episodes=config.eval.n_episodes)
-                        for i in range(len(multi_seeds))]
+            per_seed = algo.evaluate_all(
+                eval_env, n_episodes=config.eval.n_episodes)
             metrics = {k: float(np.mean([m[k] for m in per_seed]))
                        for k in per_seed[0]}
+            # per-seed curves on a PER-SEED step axis (the reference's
+            # one-process-per-seed runs count only their own env steps)
             for s, m in zip(multi_seeds, per_seed):
                 logger.log({f"eval/seed{s}/{k}": v for k, v in m.items()},
-                           step=algo.num_timesteps)
+                           step=algo.num_timesteps // len(multi_seeds))
         else:
             metrics = evaluate_policy(algo, eval_env,
                                       n_episodes=config.eval.n_episodes)
@@ -144,6 +164,7 @@ def main(config):
                                  "success_rate": metrics["success_rate"]})
 
     def iteration_callback(algo, metrics, ep_infos):
+        import time as _time
         payload = {}
         for k, v in metrics.items():
             arr = np.asarray(v).reshape(-1)
@@ -164,12 +185,21 @@ def main(config):
             payload["rollout/success_rate"] = float(
                 np.mean([i["is_success"] for i in ep_infos]))
         logger.log(payload, step=algo.num_timesteps)
-        save_checkpoint(models_dir / "latest_model.ckpt", algo.save(),
-                        {"num_timesteps": algo.num_timesteps})
+        # serializing an S-seed params+opt_state tree is ~100MB of host work;
+        # doing it EVERY iteration starves the rollout loop on a 1-core box —
+        # throttle to one latest-checkpoint per 120s (crash-resume still loses
+        # at most 2 minutes)
+        now = _time.time()
+        if now - state.get("last_ckpt_t", 0.0) >= 120.0:
+            state["last_ckpt_t"] = now
+            save_checkpoint(models_dir / "latest_model.ckpt", algo.save(),
+                            {"num_timesteps": algo.num_timesteps})
 
     algo.learn(vec_env, int(float(config.max_steps)),
                iteration_callback=iteration_callback,
                step_callback=step_callback)
+    save_checkpoint(models_dir / "latest_model.ckpt", algo.save(),
+                    {"num_timesteps": algo.num_timesteps})
     video.close()
     vec_env.close()
     eval_env.close()
