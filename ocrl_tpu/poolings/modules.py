@@ -138,13 +138,22 @@ class Transformer_Module(nn.Module):
 
 
 def _sinusoid_lookup(x, d_model, max_len):
-    """Quantise coords in [-1,1] to sinusoid table rows
-    (reference: transformer_module.py:81-86)."""
+    """Quantise coords in [-1,1] to sinusoid-table rows, computed
+    ANALYTICALLY (reference: transformer_module.py:72-86 materialises a
+    (max_len+1, d_model) table — ~5GB at max_len=10M, d_model=128; the row
+    for integer position p is just sin/cos(p * div), so we evaluate it in
+    O(1) memory; values are identical — see
+    tests/test_poolings.py::test_sinusoid_lookup_matches_table)."""
     x = jnp.clip((x + 1) / 2, 0.0, 1.0)
     idx = jnp.floor(x * max_len).astype(jnp.int32)
     idx = jnp.clip(idx, 0, max_len)
-    table = jnp.asarray(sinusoid_table(max_len + 1, d_model))
-    return table[idx]
+    div = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                  * (-math.log(10000.0) / d_model))
+    ang = idx[..., None].astype(jnp.float32) * div          # [..., d_model/2]
+    pe = jnp.zeros(idx.shape + (d_model,), jnp.float32)
+    pe = pe.at[..., 0::2].set(jnp.sin(ang))
+    pe = pe.at[..., 1::2].set(jnp.cos(ang))
+    return pe
 
 
 class RN_Module(nn.Module):

@@ -99,3 +99,42 @@ def test_pretrained_ocr_loading(tmp_path):
     ocr2, pretrained = get_ocr(ocr_cfg.ocr, ocr_cfg.dataset, cpt, seed=7)
     assert pretrained
     np.testing.assert_allclose(np.asarray(ocr2(obs)), np.asarray(ocr(obs)), rtol=1e-6)
+
+
+def test_sinusoid_lookup_matches_table():
+    """_sinusoid_lookup computes sinusoid-table rows analytically (O(1)
+    memory) — golden check against the materialised table at a small
+    max_len (reference builds the full (10M+1)-row table:
+    transformer_module.py:72-86)."""
+    from ocrl_tpu.poolings.modules import _sinusoid_lookup, sinusoid_table
+
+    max_len, d_model = 997, 32
+    table = sinusoid_table(max_len + 1, d_model)
+    x = np.linspace(-1.2, 1.2, 41).astype("float32")  # incl. out-of-range clip
+    got = np.asarray(_sinusoid_lookup(jnp.asarray(x), d_model, max_len))
+    idx = np.clip(np.floor(np.clip((x + 1) / 2, 0, 1) * max_len).astype(int),
+                  0, max_len)
+    np.testing.assert_allclose(got, table[idx], rtol=1e-5, atol=1e-5)
+
+
+def test_push_and_cw_embedding_paths():
+    """push_embedding / cw_embedding forward shapes (reference:
+    transformer_module.py:60-118) — these feed the GT/Push and CausalWorld
+    benchmark rows."""
+    B, K = 2, 5
+    # push: per-object rows [color_idx, shape_idx, ..., x, y]
+    state = np.zeros((B, K, 6), np.float32)
+    state[:, :, 0] = np.arange(K) % 4          # color ids
+    state[:, :, 1] = np.arange(K) % 3          # shape ids
+    state[:, :, -2:] = np.random.default_rng(3).uniform(-1, 1, (B, K, 2))
+    cfg = pool_cfg("transformer", "pooling.push_embedding=True")
+    module = create_pooling_module(cfg.name, 6, K, cfg)
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), state).get("params", {})
+    assert module.apply({"params": params}, state).shape == (B, 128)
+
+    # cw: row 0 carries the 28-dim arm state, rows 1.. carry object features
+    cw_state = np.random.default_rng(4).uniform(-1, 1, (B, K, 38)).astype("float32")
+    cfg = pool_cfg("transformer", "pooling.cw_embedding=True")
+    module = create_pooling_module(cfg.name, 38, K, cfg)
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), cw_state).get("params", {})
+    assert module.apply({"params": params}, cw_state).shape == (B, 128)
