@@ -27,15 +27,14 @@ class SlotAttention(nn.Module):
     mlp_hidden_size: int
     num_heads: int
     epsilon: float = 1e-8
-    # fused Pallas routing kernel (ops/slot_routing.py): "never" (default)
-    # keeps the pure-jnp loop below; "always" forces the kernel (interpret
-    # mode off TPU — tests).  Default is OFF because at real SLATE shapes the
-    # routing input is the full 64x64 CNN feature map (N=4096, D=192): k+v
-    # alone are 12.6 MB and the whole-N kernel exceeds the 16 MB VMEM budget
-    # (measured on v5e: 20.05M scoped > 16M limit).  The fix — HBM-resident
-    # k/v with chunked passes and two-phase renorm accumulation — is the
-    # ROADMAP item; the kernel + hand-derived bwd stay as its groundwork.
-    fused: str = "never"
+    # chunked Pallas routing sweep (ops/slot_routing.py): "auto" (default)
+    # uses it whenever eligible (single head, N divisible by a power-of-two
+    # chunk); "always" asserts eligibility; "never" keeps the pure-jnp
+    # einsum path.  The sweep streams k/v from HBM in [chunk, D] tiles, so
+    # VMEM use is independent of N — this replaces round 2's whole-N-resident
+    # kernel that needed 20.05 MB > 16 MB scoped VMEM at the real N=4096
+    # shapes and therefore shipped default-off.
+    fused: str = "auto"
 
     def setup(self):
         self.norm_inputs = nn.LayerNorm()
@@ -65,46 +64,46 @@ class SlotAttention(nn.Module):
         k = self.project_k(inputs).reshape(B, N_kv, H, hd) * hd ** -0.5
         v = self.project_v(inputs).reshape(B, N_kv, H, hd)
 
-        # "auto" currently resolves to the jnp path (see the `fused` field
-        # comment: whole-N VMEM residency OOMs at N=4096 on real hardware)
-        use_fused = (H == 1 and not self.is_initializing()
-                     and self.fused == "always")
-        if use_fused:
-            from ocrl_tpu.ops.slot_routing import slot_routing
+        from ocrl_tpu.ops.slot_routing import pick_chunk, route_sweep
 
-            p = self.variables["params"]
-            params = {
-                "ns_scale": p["norm_slots"]["scale"],
-                "ns_bias": p["norm_slots"]["bias"],
-                "wq": p["project_q"]["kernel"],
-                "wi": p["gru"]["wi"], "wh": p["gru"]["wh"],
-                "bi": p["gru"]["bi"], "bh": p["gru"]["bh"],
-                "nm_scale": p["norm_mlp"]["scale"],
-                "nm_bias": p["norm_mlp"]["bias"],
-                "w1": p["mlp"]["layers_0"]["kernel"],
-                "b1": p["mlp"]["layers_0"]["bias"],
-                "w2": p["mlp"]["layers_2"]["kernel"],
-                "b2": p["mlp"]["layers_2"]["bias"],
-            }
-            return slot_routing(self.num_iterations, self.epsilon,
-                                k.reshape(B, N_kv, hd), v.reshape(B, N_kv, hd),
-                                slots, params)
+        chunk = pick_chunk(N_kv)
+        use_fused = (H == 1 and chunk > 0 and not self.is_initializing()
+                     and self.fused in ("auto", "always"))
+        if self.fused == "always" and not use_fused and not self.is_initializing():
+            raise ValueError(
+                f"fused=always but routing is ineligible (heads={H}, "
+                f"N={N_kv}, chunk={chunk})")
+        if use_fused:
+            # the sweep only needs sum_n v once for the epsilon shift:
+            # upd = (a^T v + eps * v_sum) / (sum_n a + N * eps)
+            v_sum = v.reshape(B, N_kv, self.slot_size).sum(axis=1)  # [B, D]
 
         def iteration(mdl, slots):
             slots_prev = slots
             normed = mdl.norm_slots(slots)
             q = mdl.project_q(normed).reshape(B, N_q, H, hd)
-            # logits over (input, head, slot)
-            attn_logits = jnp.einsum("bnhd,bshd->bnhs", k, q)  # [B,N_kv,H,N_q]
-            # softmax jointly over heads*slots (competition among slots)
-            attn = jax.nn.softmax(attn_logits.reshape(B, N_kv, H * N_q), axis=-1)
-            attn = attn.reshape(B, N_kv, H, N_q)
-            attn_vis = attn.sum(2)  # [B,N_kv,N_q]
-            # weighted mean over inputs
-            attn = attn + self.epsilon
-            attn = attn / jnp.sum(attn, axis=1, keepdims=True)
-            updates = jnp.einsum("bnhs,bnhd->bshd", attn, v)
-            updates = updates.reshape(B, N_q, self.slot_size)
+            if use_fused:
+                # Pallas chunk sweep for the token-dimension reductions; the
+                # renorm stays in jnp so the sweep's VJP is one pass
+                sa, av, attn_vis = route_sweep(
+                    chunk, k.reshape(B, N_kv, hd), v.reshape(B, N_kv, hd),
+                    q.reshape(B, N_q, hd))
+                denom = sa + N_kv * self.epsilon                   # [B,S]
+                updates = (av + self.epsilon * v_sum[:, None, :]) \
+                    / denom[..., None]                             # [B,S,D]
+            else:
+                # logits over (input, head, slot)
+                attn_logits = jnp.einsum("bnhd,bshd->bnhs", k, q)
+                # softmax jointly over heads*slots (competition among slots)
+                attn = jax.nn.softmax(
+                    attn_logits.reshape(B, N_kv, H * N_q), axis=-1)
+                attn = attn.reshape(B, N_kv, H, N_q)
+                attn_vis = attn.sum(2)  # [B,N_kv,N_q]
+                # weighted mean over inputs
+                attn = attn + self.epsilon
+                attn = attn / jnp.sum(attn, axis=1, keepdims=True)
+                updates = jnp.einsum("bnhs,bnhd->bshd", attn, v)
+                updates = updates.reshape(B, N_q, self.slot_size)
             # GRU update + residual MLP
             _, slots = mdl.gru(slots_prev.reshape(-1, mdl.slot_size),
                                updates.reshape(-1, mdl.slot_size))

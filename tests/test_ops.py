@@ -69,72 +69,71 @@ def test_argmax_ids_blocks_gradients():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_slot_routing_fwd_matches_reference():
+def test_route_sweep_fwd_matches_reference():
+    """Chunked routing sweep vs jnp: S_a / A_v accumulation across chunks
+    and the per-token slot softmax must match exactly."""
     import jax
     import jax.numpy as jnp
     from ocrl_tpu.ops.slot_routing import (
-        PKEYS, slot_routing, slot_routing_reference)
+        pick_chunk, route_sweep, route_sweep_reference)
 
-    B, N, S, D, M, T = 2, 12, 3, 16, 16, 3
+    B, N, S, D = 2, 32, 3, 16
     rng = np.random.default_rng(0)
     k = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
-    s0 = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
-    shapes = dict(ns_scale=(D,), ns_bias=(D,), wq=(D, D), wi=(D, 3 * D),
-                  wh=(D, 3 * D), bi=(3 * D,), bh=(3 * D,), nm_scale=(D,),
-                  nm_bias=(D,), w1=(D, M), b1=(M,), w2=(M, D), b2=(D,))
-    params = {key: jnp.asarray(rng.normal(size=shapes[key]) * 0.3, jnp.float32)
-              for key in PKEYS}
-    for key in ("ns_scale", "nm_scale"):
-        params[key] = params[key] + 1.0
+    q = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
 
-    slots, attn = slot_routing(T, 1e-8, k, v, s0, params)
-    slots_r, attn_r = slot_routing_reference(T, 1e-8, k, v, s0, params)
-    np.testing.assert_allclose(np.asarray(slots), np.asarray(slots_r),
+    chunk = pick_chunk(N, target=8)     # 4 chunks -> exercises accumulation
+    assert chunk == 8
+    sa, av, a = route_sweep(chunk, k, v, q)
+    sa_r, av_r, a_r = route_sweep_reference(k, v, q)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_r),
                                rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_r),
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sa_r),
                                rtol=2e-5, atol=2e-5)
-    assert np.allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(av), np.asarray(av_r),
+                               rtol=2e-5, atol=2e-5)
+    assert np.allclose(np.asarray(a).sum(-1), 1.0, atol=1e-5)
 
 
-def test_slot_routing_grads_match_reference():
+def test_route_sweep_grads_match_reference():
+    """Hand-written single-sweep VJP vs jnp autodiff — all three outputs'
+    cotangents exercised, multi-chunk."""
     import jax
     import jax.numpy as jnp
-    from ocrl_tpu.ops.slot_routing import (
-        PKEYS, slot_routing, slot_routing_reference)
+    from ocrl_tpu.ops.slot_routing import route_sweep, route_sweep_reference
 
-    B, N, S, D, M, T = 2, 8, 3, 8, 8, 2
+    B, N, S, D = 2, 32, 3, 8
     rng = np.random.default_rng(1)
     k = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
-    s0 = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
-    shapes = dict(ns_scale=(D,), ns_bias=(D,), wq=(D, D), wi=(D, 3 * D),
-                  wh=(D, 3 * D), bi=(3 * D,), bh=(3 * D,), nm_scale=(D,),
-                  nm_bias=(D,), w1=(D, M), b1=(M,), w2=(M, D), b2=(D,))
-    params = {key: jnp.asarray(rng.normal(size=shapes[key]) * 0.3, jnp.float32)
-              for key in PKEYS}
-    for key in ("ns_scale", "nm_scale"):
-        params[key] = params[key] + 1.0
-    tgt_s = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
-    tgt_a = jnp.asarray(rng.normal(size=(B, N, S)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    t_sa = jnp.asarray(rng.normal(size=(B, S)), jnp.float32)
+    t_av = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    t_a = jnp.asarray(rng.normal(size=(B, N, S)), jnp.float32)
 
-    def loss(fn, k, v, s0, params):
-        slots, attn = fn(T, 1e-8, k, v, s0, params)
-        # exercise BOTH outputs' cotangents (attn_vis tap included)
-        return jnp.sum(slots * tgt_s) + jnp.sum(jnp.tanh(attn) * tgt_a)
+    def loss(fn, k, v, q):
+        sa, av, a = fn(k, v, q)
+        return (jnp.sum(sa * t_sa) + jnp.sum(jnp.tanh(av) * t_av)
+                + jnp.sum(jnp.tanh(a) * t_a))
 
-    g = jax.grad(lambda *a: loss(slot_routing, *a), argnums=(0, 1, 2, 3))(
-        k, v, s0, params)
-    gr = jax.grad(lambda *a: loss(slot_routing_reference, *a),
-                  argnums=(0, 1, 2, 3))(k, v, s0, params)
-    for name, a, b in [("k", g[0], gr[0]), ("v", g[1], gr[1]),
-                       ("s0", g[2], gr[2])]:
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+    g = jax.grad(lambda *x: loss(lambda *y: route_sweep(8, *y), *x),
+                 argnums=(0, 1, 2))(k, v, q)
+    gr = jax.grad(lambda *x: loss(route_sweep_reference, *x),
+                  argnums=(0, 1, 2))(k, v, q)
+    for name, a_, b_ in [("k", g[0], gr[0]), ("v", g[1], gr[1]),
+                         ("q", g[2], gr[2])]:
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-4,
                                    atol=1e-5, err_msg=name)
-    for key in PKEYS:
-        np.testing.assert_allclose(np.asarray(g[3][key]),
-                                   np.asarray(gr[3][key]), rtol=1e-4,
-                                   atol=1e-5, err_msg=key)
+
+
+def test_pick_chunk():
+    from ocrl_tpu.ops.slot_routing import pick_chunk
+
+    assert pick_chunk(4096) == 512
+    assert pick_chunk(4096, target=256) == 256
+    assert pick_chunk(48) == 16
+    assert pick_chunk(7) == 0          # prime -> jnp fallback
 
 
 def test_slot_attention_module_fused_matches_jnp():
@@ -142,7 +141,7 @@ def test_slot_attention_module_fused_matches_jnp():
     (same params, same slot-init noise) — outputs AND gradients."""
     from ocrl_tpu.models.slot_attention import SlotAttention
 
-    B, N, D, S = 2, 12, 16, 3
+    B, N, D, S = 2, 16, 16, 3
     rng = np.random.default_rng(2)
     inputs = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
     slots0 = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
