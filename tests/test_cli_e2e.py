@@ -51,3 +51,34 @@ def test_collect_train_resume(tmp_path):
     metrics2 = [json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()]
     steps = [m["_step"] for m in metrics2 if "train/loss" in m]
     assert max(steps) > 6  # continued past the first epoch's steps
+
+
+@pytest.mark.slow
+def test_multi_seed_train_resume_test_cycle(tmp_path):
+    """train_sb3 multi-seed -> +resume= -> test_sb3 +seeds= on the produced
+    checkpoint (the benchmark-table protocol, tiny budget)."""
+    common = ["ocr=gt", "pooling=mlp", "sb3=ppo", "sb3_acnet=mlp",
+              "env=target-N4C4S3S1", "+seeds=11,22", "num_envs=2",
+              "sb3.algo_kwargs.n_steps=8", "sb3.algo_kwargs.batch_size=8",
+              "eval.freq=4", "eval.n_episodes=2", "video.interval=100000"]
+    run_dir = tmp_path / "run1"
+    run_cli("train_sb3.py", *common, "max_steps=32",
+            f"run_dir={run_dir}")
+    ckpt = run_dir / "models" / "latest_model.ckpt"
+    assert ckpt.is_file()
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert any(k.startswith("train/")
+               for line in lines for k in json.loads(line))
+
+    run_dir2 = tmp_path / "run2"
+    run_cli("train_sb3.py", *common, "max_steps=48",
+            f"run_dir={run_dir2}", f"+resume={ckpt}")
+    assert (run_dir2 / "models" / "latest_model.ckpt").is_file()
+
+    out = run_cli("test_sb3.py", "ocr=gt", "pooling=mlp", "sb3=ppo",
+                  "sb3_acnet=mlp", "env=target-N4C4S3S1", "+seeds=11,22",
+                  "n_eval_episodes=2",
+                  f"agent_checkpoint.run_id={run_dir2 / 'models'}",
+                  "agent_checkpoint.file=latest_model")
+    assert "summary" in out.stdout
+    assert "seed11" in out.stdout and "seed22" in out.stdout
