@@ -68,7 +68,7 @@ def main(config):
                             for name, v in vals.items()}, step=s + j)
         pending.clear()
 
-    superbatch = int(config.get("superbatch", 8))
+    superbatch = int(config.get("superbatch", 16))
     batch_size = int(config.batch_size)
     tracing = False
     while epoch < config.max_epochs:
