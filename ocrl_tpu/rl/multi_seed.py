@@ -29,7 +29,7 @@ from .ppo import PPOConfig
 class MultiSeedPPO:
     def __init__(self, policy_module, obs_shape, is_image_obs: bool,
                  num_envs: int, config: PPOConfig, seeds,
-                 freeze_ocr: bool = False):
+                 freeze_ocr: bool = False, pipeline: bool = False):
         if config.target_kl is not None:
             raise ValueError("target_kl early-stop is per-seed control flow; "
                              "use single-seed PPO for target_kl runs")
@@ -40,6 +40,10 @@ class MultiSeedPPO:
         self.num_envs = num_envs          # envs PER SEED
         self.seeds = [int(s) for s in seeds]
         self.S = len(self.seeds)
+        # double-buffered rollout: env halves step while the other half's
+        # policy call is in flight (pays when host env stepping is comparable
+        # to the dispatch round trip, i.e. image-obs envs at high env counts)
+        self.pipeline = bool(pipeline) and num_envs % 2 == 0
         # Host-side key source: any uint32 pair is a valid threefry key, so
         # rollout/update keys are drawn with numpy — the per-step
         # jax.random.split device dispatches (one extra ~latency-bound round
@@ -248,6 +252,96 @@ class MultiSeedPPO:
                  "returns": per_seed(returns)}
         return obs, batch, ep_infos
 
+    def collect_rollout_pipelined(self, vec_env, obs, n_steps: int,
+                                  step_callback: Optional[Callable] = None):
+        """Double-buffered variant of collect_rollout: envs are split into
+        two halves per seed; while half X's policy call is in flight over the
+        transport, half Y's envs step on the host.  Trajectories are NOT
+        bit-identical to the serial path (each half draws from its own key),
+        but per-env streams and all PPO semantics are unchanged."""
+        S, E = self.S, self.num_envs
+        E2 = E // 2
+        cfg = self.cfg
+        assert vec_env.num_envs == S * E and E % 2 == 0
+        obs_dtype = np.uint8 if self.is_image_obs else np.float32
+        buf_obs = np.empty((n_steps, S, E) + obs.shape[1:], obs_dtype)
+        buf_actions = np.empty((n_steps, S, E), np.int32)
+        buf_logprobs = np.empty((n_steps, S, E), np.float32)
+        buf_values = np.empty((n_steps, S, E), np.float32)
+        buf_rewards = np.empty((n_steps, S, E), np.float32)
+        buf_dones = np.empty((n_steps, S, E), np.float32)
+        ep_infos = [[] for _ in range(S)]
+
+        halves = (slice(0, E2), slice(E2, E))
+        idx = [np.array([s * E + e for s in range(S)
+                         for e in range(h.start, h.stop)]) for h in halves]
+        grouped = obs.reshape((S, E) + obs.shape[1:])
+        cur = [np.ascontiguousarray(grouped[:, h]) for h in halves]  # (S,E2,..)
+        step_keys = self._np_key((n_steps + 1) * 2 * S).reshape(
+            n_steps + 1, 2, S, 2)
+
+        def dispatch(h, t):
+            return self._act(self.params, jnp.asarray(cur[h]),
+                             jnp.asarray(step_keys[t, h]))
+
+        def record_act(h, t, outs):
+            action, logprob, value = jax.device_get(outs)
+            buf_obs[t][:, halves[h]] = cur[h]
+            buf_actions[t][:, halves[h]] = action
+            buf_logprobs[t][:, halves[h]] = logprob
+            buf_values[t][:, halves[h]] = value
+            return action
+
+        def step_half(h, t, action):
+            o, rewards, dones, infos = vec_env.step_indices(
+                idx[h], action.reshape(-1))
+            cur[h] = o.reshape((S, E2) + o.shape[1:])
+            buf_rewards[t][:, halves[h]] = rewards.reshape(S, E2)
+            buf_dones[t][:, halves[h]] = dones.reshape(S, E2)
+            for j, info in enumerate(infos):
+                if "is_success" in info and "terminal_observation" in info:
+                    ep_infos[int(idx[h][j]) // E].append(info)
+
+        inflight_a = dispatch(0, 0)
+        for t in range(n_steps):
+            act_a = record_act(0, t, inflight_a)
+            inflight_b = dispatch(1, t)
+            step_half(0, t, act_a)          # overlaps half-B's round trip
+            act_b = record_act(1, t, inflight_b)
+            if t + 1 < n_steps:
+                inflight_a = dispatch(0, t + 1)
+            step_half(1, t, act_b)          # overlaps half-A's round trip
+            self.num_timesteps += S * E
+            if step_callback is not None:
+                step_callback(self)
+
+        full = np.concatenate(cur, axis=1)                 # (S, E, ...)
+        obs = full.reshape((S * E,) + full.shape[2:])
+        last_values = np.asarray(self._values(
+            self.params, jnp.asarray(full),
+            jnp.asarray(step_keys[n_steps, 0])))
+
+        advantages = np.zeros_like(buf_rewards)
+        gae = np.zeros((S, E), np.float32)
+        for t in reversed(range(n_steps)):
+            next_v = last_values if t == n_steps - 1 else buf_values[t + 1]
+            nonterminal = 1.0 - buf_dones[t]
+            delta = buf_rewards[t] + cfg.gamma * next_v * nonterminal - buf_values[t]
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            advantages[t] = gae
+        returns = advantages + buf_values
+
+        def per_seed(a):
+            return np.ascontiguousarray(a.swapaxes(0, 1)).reshape(
+                (S, n_steps * E) + a.shape[3:])
+
+        batch = {"obs": per_seed(buf_obs), "actions": per_seed(buf_actions),
+                 "logprobs": per_seed(buf_logprobs),
+                 "values": per_seed(buf_values),
+                 "advantages": per_seed(advantages),
+                 "returns": per_seed(returns)}
+        return obs, batch, ep_infos
+
     # -- updates ---------------------------------------------------------------
 
     def train_on_rollout(self, batch: dict) -> dict:
@@ -284,8 +378,10 @@ class MultiSeedPPO:
               step_callback: Optional[Callable] = None):
         obs = vec_env.reset()
         n_steps = max(self.cfg.n_steps // self.num_envs, 1)
+        collect = (self.collect_rollout_pipelined if self.pipeline
+                   else self.collect_rollout)
         while self.num_timesteps < total_timesteps * self.S:
-            obs, batch, ep_infos = self.collect_rollout(
+            obs, batch, ep_infos = collect(
                 vec_env, obs, n_steps, step_callback)
             metrics = self.train_on_rollout(batch)
             if iteration_callback is not None:

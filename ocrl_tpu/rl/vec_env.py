@@ -46,6 +46,25 @@ class VecEnv:
         return (np.stack(obs), np.asarray(rewards, np.float32),
                 np.asarray(dones, bool), infos)
 
+    def step_indices(self, indices, actions):
+        """Step ONLY the envs at `indices` (used by the double-buffered
+        rollout: one env half steps while the other half's policy call is in
+        flight).  Same auto-reset semantics as step()."""
+        obs, rewards, dones, infos = [], [], [], []
+        for i, act in zip(indices, actions):
+            env = self.envs[i]
+            o, r, d, info = env.step(coerce_action(self.action_space, act))
+            if d:
+                info = dict(info)
+                info["terminal_observation"] = o
+                o = env.reset()
+            obs.append(o)
+            rewards.append(r)
+            dones.append(d)
+            infos.append(info)
+        return (np.stack(obs), np.asarray(rewards, np.float32),
+                np.asarray(dones, bool), infos)
+
     def render_frame(self) -> np.ndarray:
         """First env's RGB frame (for video recording)."""
         return self.envs[0].render("rgb_array")
@@ -127,6 +146,14 @@ class SubprocVecEnv:
         for r, act in zip(self.remotes, actions):
             r.send(("step", act))
         results = [r.recv() for r in self.remotes]
+        obs, rewards, dones, infos = zip(*results)
+        return (np.stack(obs), np.asarray(rewards, np.float32),
+                np.asarray(dones, bool), list(infos))
+
+    def step_indices(self, indices, actions):
+        for i, act in zip(indices, actions):
+            self.remotes[i].send(("step", act))
+        results = [self.remotes[i].recv() for i in indices]
         obs, rewards, dones, infos = zip(*results)
         return (np.stack(obs), np.asarray(rewards, np.float32),
                 np.asarray(dones, bool), list(infos))

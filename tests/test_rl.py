@@ -270,3 +270,45 @@ def test_multi_seed_ppo_vmapped():
     with pytest.raises(ValueError, match="seeds"):
         algo3.load(ckpt)
     vec.close()
+
+
+def test_multi_seed_pipelined_rollout():
+    """Double-buffered rollout: same buffer shapes/semantics as the serial
+    path, deterministic given seeds, and learn() runs end-to-end."""
+    from ocrl_tpu.rl.multi_seed import MultiSeedPPO
+    from ocrl_tpu.rl.vec_env import make_multi_seed_vec_env
+
+    cfg = gt_config()
+    seeds = [11, 22]
+
+    def fresh():
+        vec = make_multi_seed_vec_env(envs.TargetEnv, cfg.env, 4, seeds,
+                                      mode="dummy")
+        policy, ocr, freeze, _ = build_policy(cfg, seed=0)
+        algo = MultiSeedPPO(policy, vec.observation_space.shape, False, 4,
+                            PPOConfig(n_steps=16, batch_size=8, n_epochs=2),
+                            seeds, freeze_ocr=freeze, pipeline=True)
+        assert algo.pipeline
+        return vec, algo
+
+    vec, algo = fresh()
+    obs0 = vec.reset()
+    obs1, batch, infos = algo.collect_rollout_pipelined(vec, obs0, 4)
+    n = 4 * 4  # n_steps * E
+    assert batch["obs"].shape[:2] == (2, n)
+    assert batch["actions"].shape == (2, n)
+    assert obs1.shape == obs0.shape
+    assert np.isfinite(batch["advantages"]).all()
+
+    # deterministic: a fresh env+algo with the same seeds reproduces the
+    # rollout exactly
+    vec2, algo2 = fresh()
+    _, batch2, _ = algo2.collect_rollout_pipelined(vec2, vec2.reset(), 4)
+    for k in batch:
+        np.testing.assert_array_equal(batch[k], batch2[k], err_msg=k)
+    vec2.close()
+
+    # learning smoke through learn() with the pipelined path
+    algo.learn(vec, total_timesteps=96)
+    assert algo.num_timesteps >= 96 * 2
+    vec.close()
