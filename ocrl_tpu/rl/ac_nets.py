@@ -72,14 +72,25 @@ class ActorCriticPolicy(nn.Module):
         self.value_net_out = nn.Dense(1, kernel_init=value_init)
 
     def extract(self, obs):
+        return self.pooling_module(self.ocr_rep(obs))
+
+    def ocr_rep(self, obs):
+        """OCR representation alone — the split point the cached-frozen-reps
+        PPO update uses (rl/multi_seed.py): with a frozen encoder the rep can
+        be computed ONCE per rollout instead of n_epochs x minibatches
+        times."""
         rep = self.ocr_module(obs)
         if self.freeze_ocr:
             rep = jax.lax.stop_gradient(rep)
-        return self.pooling_module(rep)
+        return rep
 
-    def __call__(self, obs):
-        features = self.extract(obs)
+    def heads_from_rep(self, rep):
+        """pooling + AC heads from a precomputed OCR representation."""
+        features = self.pooling_module(rep)
         latent_pi, latent_vf = self.acnet(features)
         logits = self.action_net(latent_pi)
         value = self.value_net_out(latent_vf)[..., 0]
         return logits, value
+
+    def __call__(self, obs):
+        return self.heads_from_rep(self.ocr_rep(obs))

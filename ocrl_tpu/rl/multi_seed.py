@@ -26,10 +26,21 @@ import optax
 from .ppo import PPOConfig
 
 
+def _encode_chunk(n: int, target: int = 128) -> int:
+    """Largest power-of-two chunk <= target dividing n (0 = no fit)."""
+    c = target
+    while c >= 8:
+        if n % c == 0:
+            return c
+        c //= 2
+    return 0
+
+
 class MultiSeedPPO:
     def __init__(self, policy_module, obs_shape, is_image_obs: bool,
                  num_envs: int, config: PPOConfig, seeds,
-                 freeze_ocr: bool = False, pipeline: bool = False):
+                 freeze_ocr: bool = False, pipeline: bool = False,
+                 cache_frozen_reps: bool = False):
         if config.target_kl is not None:
             raise ValueError("target_kl early-stop is per-seed control flow; "
                              "use single-seed PPO for target_kl runs")
@@ -44,6 +55,14 @@ class MultiSeedPPO:
         # policy call is in flight (pays when host env stepping is comparable
         # to the dispatch round trip, i.e. image-obs envs at high env counts)
         self.pipeline = bool(pipeline) and num_envs % 2 == 0
+        # cached-frozen-reps update: with a frozen OCR, encode the rollout
+        # ONCE on-device and run every epoch's minibatches on cached reps —
+        # the encoder pass drops from n_epochs x minibatches to 1 per
+        # rollout.  Deviation from the reference's recompute-per-minibatch:
+        # stochastic encoders (slot-init noise) see ONE noise draw per
+        # rollout instead of one per minibatch pass; deterministic encoders
+        # are bit-identical (tested).
+        self.cache_reps = bool(cache_frozen_reps) and freeze_ocr
         # Host-side key source: any uint32 pair is a valid threefry key, so
         # rollout/update keys are drawn with numpy — the per-step
         # jax.random.split device dispatches (one extra ~latency-bound round
@@ -113,9 +132,15 @@ class MultiSeedPPO:
             return value
 
         def loss_fn(params, batch, rng):
-            logits, values = policy.apply({"params": params},
-                                          prep(batch["obs"]),
-                                          rngs=self._rngs(rng))
+            if "rep" in batch:
+                logits, values = policy.apply({"params": params},
+                                              batch["rep"],
+                                              rngs=self._rngs(rng),
+                                              method="heads_from_rep")
+            else:
+                logits, values = policy.apply({"params": params},
+                                              prep(batch["obs"]),
+                                              rngs=self._rngs(rng))
             logp_all = jax.nn.log_softmax(logits)
             logprob = logp_all[jnp.arange(logits.shape[0]), batch["actions"]]
             entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
@@ -165,6 +190,30 @@ class MultiSeedPPO:
             last = jax.tree.map(lambda m: m[-1], metrics)
             return params, opt_state, last
 
+        def rep_one(params, obs, rng, chunk):
+            """Encode one seed's whole rollout, lax.map'd in chunks (a
+            single-batch SLATE pass over n=2048 images would materialise
+            ~19GB of CNN-token activations)."""
+            n = obs.shape[0]
+
+            def enc(c):
+                return policy.apply({"params": params}, prep(c),
+                                    rngs=self._rngs(rng), method="ocr_rep")
+
+            chunks = obs.reshape((n // chunk, chunk) + obs.shape[1:])
+            rep = jax.lax.map(enc, chunks)
+            return rep.reshape((n,) + rep.shape[2:])
+
+        def epochs_update_cached(params, opt_state, data, perm_idx, rng,
+                                 chunk):
+            keys = jax.random.split(rng, data["obs"].shape[0])
+            rep = jax.vmap(rep_one, in_axes=(0, 0, 0, None))(
+                params, data["obs"], keys, chunk)
+            data = {k: v for k, v in data.items() if k != "obs"}
+            data["rep"] = rep
+            return epochs_update(params, opt_state, data, perm_idx,
+                                 jax.random.fold_in(rng, 1))
+
         self._act = jax.jit(jax.vmap(act_one))
         self._act_det = jax.jit(jax.vmap(act_det_one))
         self._act_det_one = jax.jit(act_det_one)
@@ -172,6 +221,8 @@ class MultiSeedPPO:
         self._values = jax.jit(jax.vmap(values_one))
         self._update = jax.jit(jax.vmap(update_one), donate_argnums=(0, 1))
         self._epochs_update = jax.jit(epochs_update, donate_argnums=(0, 1))
+        self._epochs_update_cached = jax.jit(
+            epochs_update_cached, donate_argnums=(0, 1), static_argnums=(5,))
         self._prep = prep
 
     def _np_key(self, n: Optional[int] = None) -> np.ndarray:
@@ -359,9 +410,17 @@ class MultiSeedPPO:
             perm_idx = perm_idx.reshape(
                 cfg.n_epochs, S, n_mb, cfg.batch_size).swapaxes(1, 2).reshape(
                 cfg.n_epochs * n_mb, S, cfg.batch_size)
-            self.params, self.opt_state, metrics = self._epochs_update(
-                self.params, self.opt_state, data,
-                jnp.asarray(perm_idx, jnp.int32), self._next_rng())
+            chunk = _encode_chunk(n) if self.cache_reps else 0
+            if chunk:
+                self.params, self.opt_state, metrics = \
+                    self._epochs_update_cached(
+                        self.params, self.opt_state, data,
+                        jnp.asarray(perm_idx, jnp.int32), self._next_rng(),
+                        chunk)
+            else:
+                self.params, self.opt_state, metrics = self._epochs_update(
+                    self.params, self.opt_state, data,
+                    jnp.asarray(perm_idx, jnp.int32), self._next_rng())
             return {k: np.asarray(v) for k, v in metrics.items()}
         metrics = {}
         for _ in range(cfg.n_epochs):

@@ -312,3 +312,54 @@ def test_multi_seed_pipelined_rollout():
     algo.learn(vec, total_timesteps=96)
     assert algo.num_timesteps >= 96 * 2
     vec.close()
+
+
+def test_cached_frozen_reps_update_matches_uncached(tmp_path):
+    """cache_frozen_reps=True: encode-once-per-rollout must produce the same
+    update as recompute-per-minibatch for a deterministic frozen encoder
+    (VAE rep = posterior mean)."""
+    import jax
+    from ocrl_tpu import utils
+    from ocrl_tpu.models import create_ocr
+    from ocrl_tpu.rl.multi_seed import MultiSeedPPO
+    from ocrl_tpu.rl.vec_env import make_multi_seed_vec_env
+
+    ocr_cfg = compose("train_ocr", ["ocr=vae", "dataset=random-N5C4S4S2",
+                                    "dataset.obs_size=16"])
+    pre = create_ocr(ocr_cfg.ocr, ocr_cfg.dataset, seed=0)
+    utils.save(pre, tmp_path, step=1, best=True)
+    cfg = compose("train_sb3", [
+        "ocr=vae", "pooling=mlp", "sb3=ppo", "sb3_acnet=mlp",
+        "env=target-N4C4S3S1", "env.obs_size=16",
+        f"pooling.ocr_checkpoint.local_file={tmp_path}/checkpoints/model_best.ckpt"])
+    seeds = [11, 22]
+    vec = make_multi_seed_vec_env(envs.TargetEnv, cfg.env, 2, seeds,
+                                  mode="dummy")
+    policy, ocr, freeze, pretrained = build_policy(cfg, seed=0)
+    assert freeze and pretrained
+
+    def mk(cache):
+        algo = MultiSeedPPO(policy, vec.observation_space.shape, True, 2,
+                            PPOConfig(n_steps=16, batch_size=8, n_epochs=2),
+                            seeds, freeze_ocr=True, cache_frozen_reps=cache)
+        inject_pretrained_ocr(algo, ocr)
+        return algo
+
+    a_plain, a_cached = mk(False), mk(True)
+    assert not a_plain.cache_reps and a_cached.cache_reps
+    jax.tree.map(lambda x, y: np.testing.assert_array_equal(
+        np.asarray(x), np.asarray(y)), a_plain.params, a_cached.params)
+
+    obs = vec.reset()
+    _, batch, _ = a_plain.collect_rollout(vec, obs, 8)
+    # same permutation stream for both updates
+    a_plain._np_rng = np.random.default_rng(7)
+    a_cached._np_rng = np.random.default_rng(7)
+    m1 = a_plain.train_on_rollout({k: v.copy() for k, v in batch.items()})
+    m2 = a_cached.train_on_rollout({k: v.copy() for k, v in batch.items()})
+    assert np.isfinite(m2["loss"]).all()
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(
+        np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5),
+        a_plain.params, a_cached.params)
+    np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-3, atol=1e-4)
+    vec.close()

@@ -101,7 +101,8 @@ def main(config):
                 policy, obs_shape, is_image_obs, config.num_envs,
                 PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
                 multi_seeds, freeze_ocr=freeze,
-                pipeline=bool(config.get("pipeline_rollout", False)))
+                pipeline=bool(config.get("pipeline_rollout", False)),
+                cache_frozen_reps=bool(config.get("cache_frozen_reps", False)))
         elif config.sb3.name == "PPO":
             algo = PPO(policy, obs_shape, is_image_obs, config.num_envs,
                        PPOConfig.from_algo_kwargs(config.sb3.algo_kwargs.to_dict()),
