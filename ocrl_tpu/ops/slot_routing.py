@@ -10,25 +10,31 @@ so it shipped default-off.  This is the chunked redesign VERDICT round-2
 item 4 asked for, at a deliberately different altitude:
 
 - Pallas owns ONLY the token-dimension sweep: for each N-chunk streamed from
-  HBM it computes the slot softmax and accumulates the three reductions the
-  iteration needs — ``S_a = sum_n a_n`` ([B, S]), ``A_v = a^T v``
-  ([B, S, D]) — and writes the attention map ``a`` ([B, N, S], needed for
-  attn_vis and reused by the backward sweep).  VMEM per program is two
-  [chunk, D] tiles plus slot-sized operands (~1 MB at chunk=512), independent
-  of N.
+  HBM it computes the slot softmax, writes the attention map ``a``
+  ([B, N, S], needed for attn_vis and reused by the backward sweep), and a
+  per-chunk partial reduction ``a^T v`` ([B, NC, S, D]).  VMEM per program is
+  two [chunk, D] tiles plus slot-sized operands (~1 MB at chunk=512),
+  independent of N.
+- Cross-chunk reductions happen in jnp (`partial.sum(1)`, `a.sum(1)`): the
+  partials are slot-sized so the extra HBM traffic is negligible, and the
+  kernel needs NO grid-position-dependent accumulation — which keeps it
+  vmap-safe (jax.vmap prepends a grid axis to pallas_call, so program_id-
+  based revisit-accumulation patterns silently break under vmap; learned on
+  real hardware, round 3).
 - Everything slot-sized (the inverted-softmax renormalisation via
   ``upd = (A_v + eps * sum_n v) / (S_a + N * eps)``, the GRU, the residual
   MLP, layernorms, the T-iteration loop) stays plain flax/jnp in
-  models/slot_attention.py — XLA already fuses [B, S, D] elementwise chains;
-  hand-scheduling them in a kernel bought nothing but the VMEM blow-up.
+  models/slot_attention.py — XLA already fuses slot-sized elementwise
+  chains; hand-scheduling them in a kernel bought nothing but the VMEM
+  blow-up.
 - The custom VJP is ONE chunk sweep (not two): the only cross-chunk
   dependency in the backward — the 1/s^2 renormalisation term — lives in the
-  jnp part, so the kernel's cotangents (g_S_a, g_A_v, g_a) arrive fully
-  formed and each chunk's gk/gv/gq contribution is local.
+  jnp part, so the kernel's cotangents arrive fully formed (g_sa folded into
+  g_a before the call) and each chunk's gk/gv/gq contribution is local.
 
 The softmax here is per-token over slots (the "competition among slots"
 direction, slot_attn.py:75-87): no cross-chunk max/sum carry is needed, which
-is what makes the single-pass accumulate exact, not an online-softmax
+is what makes the single-pass chunking exact, not an online-softmax
 approximation.
 """
 
@@ -39,7 +45,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _interpret() -> bool:
@@ -67,38 +72,27 @@ def _dot(a, b, dims):
                                preferred_element_type=jnp.float32)
 
 
-# -- forward sweep -----------------------------------------------------------
+# -- kernels (one (b, chunk) program each; every output block written
+# exactly once — no cross-program accumulation, see module docstring) --------
 
 
-def _sweep_fwd_kernel(k_ref, v_ref, q_ref, sa_ref, av_ref, a_ref):
+def _sweep_fwd_kernel(k_ref, v_ref, q_ref, a_ref, avp_ref):
     k, v, q = k_ref[0], v_ref[0], q_ref[0]          # [C,D], [C,D], [S,D]
     a = _softmax_rows(_dot(k, q, ((1,), (1,))))      # [C,S] softmax over slots
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        sa_ref[:] = jnp.zeros_like(sa_ref)
-        av_ref[:] = jnp.zeros_like(av_ref)
-
     a_ref[0] = a
-    sa_ref[0] += jnp.sum(a, axis=0)                  # [S]
-    av_ref[0] += _dot(a, v, ((0,), (0,)))            # [S,D]
+    avp_ref[0, 0] = _dot(a, v, ((0,), (0,)))         # [S,D] chunk partial
 
 
-def _sweep_bwd_kernel(k_ref, v_ref, a_ref, q_ref, gsa_ref, gav_ref, ga_ref,
-                      gk_ref, gv_ref, gq_ref):
+def _sweep_bwd_kernel(k_ref, v_ref, a_ref, q_ref, gav_ref, ga_ref,
+                      gk_ref, gv_ref, gqp_ref):
     k, v, a = k_ref[0], v_ref[0], a_ref[0]
-    q, g_sa, g_av, g_a = q_ref[0], gsa_ref[0], gav_ref[0], ga_ref[0]
-    # da_ns = g_sa_s + (v g_av^T)_ns + g_a_ns
-    da = g_sa[None, :] + _dot(v, g_av, ((1,), (1,))) + g_a       # [C,S]
+    q, g_av, g_a = q_ref[0], gav_ref[0], ga_ref[0]
+    # da_ns = (v g_av^T)_ns + g_a_ns   (the g_sa term is folded into g_a)
+    da = _dot(v, g_av, ((1,), (1,))) + g_a                        # [C,S]
     dlogits = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))  # [C,S]
     gk_ref[0] = _dot(dlogits, q, ((1,), (0,)))                    # [C,D]
     gv_ref[0] = _dot(a, g_av, ((1,), (0,)))                       # [C,D]
-
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        gq_ref[:] = jnp.zeros_like(gq_ref)
-
-    gq_ref[0] += _dot(dlogits, k, ((0,), (0,)))                   # [S,D]
+    gqp_ref[0, 0] = _dot(dlogits, k, ((0,), (0,)))                # [S,D]
 
 
 def _chunk_spec(C, X):
@@ -108,6 +102,11 @@ def _chunk_spec(C, X):
 def _perb_spec(shape):
     return pl.BlockSpec((1,) + shape,
                         lambda b, c: (b,) + (0,) * len(shape))
+
+
+def _partial_spec(shape):
+    return pl.BlockSpec((1, 1) + shape,
+                        lambda b, c: (b, c) + (0,) * len(shape))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -125,18 +124,18 @@ def _route_sweep_fwd(chunk, k, v, q):
     B, N, D = k.shape
     S = q.shape[1]
     NC = N // chunk
-    sa, av, a = pl.pallas_call(
+    a, av_partial = pl.pallas_call(
         _sweep_fwd_kernel,
         grid=(B, NC),
         in_specs=[_chunk_spec(chunk, D), _chunk_spec(chunk, D),
                   _perb_spec((S, D))],
-        out_specs=[_perb_spec((S,)), _perb_spec((S, D)),
-                   _chunk_spec(chunk, S)],
-        out_shape=[jax.ShapeDtypeStruct((B, S), jnp.float32),
-                   jax.ShapeDtypeStruct((B, S, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, N, S), jnp.float32)],
+        out_specs=[_chunk_spec(chunk, S), _partial_spec((S, D))],
+        out_shape=[jax.ShapeDtypeStruct((B, N, S), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NC, S, D), jnp.float32)],
         interpret=_interpret(),
     )(k, v, q)
+    sa = a.sum(axis=1)                    # [B, S] — slot-sized jnp reduction
+    av = av_partial.sum(axis=1)           # [B, S, D]
     return (sa, av, a), (k, v, q, a)
 
 
@@ -146,21 +145,22 @@ def _route_sweep_bwd(chunk, saved, cts):
     B, N, D = k.shape
     S = q.shape[1]
     NC = N // chunk
-    gk, gv, gq = pl.pallas_call(
+    # fold the S_a cotangent into a's (S_a = sum_n a is linear)
+    g_a2 = g_a + g_sa[:, None, :]
+    gk, gv, gq_partial = pl.pallas_call(
         _sweep_bwd_kernel,
         grid=(B, NC),
         in_specs=[_chunk_spec(chunk, D), _chunk_spec(chunk, D),
                   _chunk_spec(chunk, S), _perb_spec((S, D)),
-                  _perb_spec((S,)), _perb_spec((S, D)),
-                  _chunk_spec(chunk, S)],
+                  _perb_spec((S, D)), _chunk_spec(chunk, S)],
         out_specs=[_chunk_spec(chunk, D), _chunk_spec(chunk, D),
-                   _perb_spec((S, D))],
+                   _partial_spec((S, D))],
         out_shape=[jax.ShapeDtypeStruct((B, N, D), jnp.float32),
                    jax.ShapeDtypeStruct((B, N, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, S, D), jnp.float32)],
+                   jax.ShapeDtypeStruct((B, NC, S, D), jnp.float32)],
         interpret=_interpret(),
-    )(k, v, a, q, g_sa, g_av, g_a)
-    return gk, gv, gq
+    )(k, v, a, q, g_av, g_a2)
+    return gk, gv, gq_partial.sum(axis=1)
 
 
 route_sweep.defvjp(_route_sweep_fwd, _route_sweep_bwd)

@@ -48,3 +48,14 @@ echo "[queue] bench warm-up (new routing-kernel graph into .jax_cache)"
 timeout 5400 python bench.py > /tmp/bench_r3.log 2>&1
 
 echo "[queue] done"
+
+# Started only if wall-clock remains: Slot-Attention (bcdec) full-budget
+# pretrain, bounded to stop before the driver's end-of-round bench needs the
+# chip.  Resumable in round 4 from its checkpoints.
+LEFT=$(( $(date -d '21:55' +%s) - $(date +%s) ))
+if [ "$LEFT" -gt 900 ]; then
+  echo "[queue] bcdec pretrain for ${LEFT}s"
+  timeout "$LEFT" python train_ocr.py ocr=slotattention dataset=random-N5C4S4S2 \
+    > /tmp/bcdec_pretrain.log 2>&1
+fi
+echo "[queue] all done"
