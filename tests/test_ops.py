@@ -172,3 +172,38 @@ def test_slot_attention_module_fused_matches_jnp():
     g_f = jax.grad(lambda v: loss(m_f, v))(v_f)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5), g_j, g_f)
+
+
+def test_route_sweep_under_vmap():
+    """jax.vmap prepends a grid axis to pallas_call — values and VJP must
+    survive it (the RL act path runs the sweep under a seed vmap; mosaic
+    rejected the pre-round-3 layout there on real hardware)."""
+    import jax
+    import jax.numpy as jnp
+    from ocrl_tpu.ops.slot_routing import route_sweep, route_sweep_reference
+
+    V, B, N, S, D = 3, 2, 32, 5, 16
+    rng = np.random.default_rng(4)
+    k = jnp.asarray(rng.normal(size=(V, B, N, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(V, B, N, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(V, B, S, D)), jnp.float32)
+
+    out = jax.vmap(lambda *a: route_sweep(8, *a))(k, v, q)
+    ref = jax.vmap(route_sweep_reference)(k, v, q)
+    for a_, b_ in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+    def loss(fn, k, v, q):
+        sa, av, a = jax.vmap(fn)(k, v, q)
+        return jnp.sum(jnp.tanh(av)) + jnp.sum(jnp.tanh(a)) + jnp.sum(sa ** 2)
+
+    g = jax.grad(lambda *x: loss(lambda *y: route_sweep(8, *y), *x),
+                 argnums=(0, 1, 2))(k, v, q)
+    gr = jax.grad(lambda *x: loss(route_sweep_reference, *x),
+                  argnums=(0, 1, 2))(k, v, q)
+    for name, a_, b_ in zip("kvq", g, gr):
+        # slightly looser than the unvmapped test: the sa**2 loss term
+        # amplifies accumulation-order noise across the vmap axis
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-3,
+                                   atol=5e-5, err_msg=name)
