@@ -1,28 +1,93 @@
 #!/bin/bash
-# Round-3 TPU queue: fires after the SLATE PPO resume (pid in /tmp/ppo.pid)
-# exits, then keeps the chip busy: final SLATE table eval -> GT x Object Goal
-# (3 vmapped seeds) -> final GT eval -> property-predictor probe on the
-# trained SLATE encoder -> bench warm-up.  Each stage logs to /tmp and is
-# bounded with `timeout` so a wedge cannot eat the round.
+# Round-3 TPU queue.  Phase 0 babysits the SLATE PPO resume to its full 2e6
+# steps/seed budget, restarting it on crash OR when host RSS exceeds 55GB
+# (the dev-transport client pins transfer staging buffers, so long-lived
+# processes leak host memory and slow down; restarts are cheap — compiles
+# are cached and resume loses <=120s).  Then: final SLATE table eval -> GT x
+# Object Goal -> final GT eval -> property probe -> bench -> bounded bcdec
+# pretrain.  Each stage logs to /tmp and is bounded with `timeout`.
 cd /root/repo || exit 1
 
-echo "[queue] waiting for SLATE PPO ($(cat /tmp/ppo.pid)) to finish"
-while kill -0 "$(cat /tmp/ppo.pid)" 2>/dev/null; do sleep 60; done
-sleep 15
+SLATE_RUN_GLOB="outputs/train_sb3/SLATE-Transformer-PPO-TargetN4C4S3S1Env"
 
-SLATE_RUN=outputs/train_sb3/SLATE-Transformer-PPO-TargetN4C4S3S1Env/2026-08-20_14-45-37
+ckpt_steps() {  # print num_timesteps of the NEWEST latest_model.ckpt
+  python - <<'PYEOF'
+import glob
+import json
+import struct
+fs = sorted(glob.glob(
+    "outputs/train_sb3/SLATE-Transformer-PPO-TargetN4C4S3S1Env/*/models/latest_model.ckpt"),
+    key=lambda p: __import__("os").path.getmtime(p))
+if not fs:
+    print(0)
+else:
+    with open(fs[-1], "rb") as f:
+        f.read(8)
+        (n,) = struct.unpack("<Q", f.read(8))
+        print(int(json.loads(f.read(n).decode()).get("num_timesteps", 0)))
+PYEOF
+}
+
+newest_ckpt() {
+  ls -t $SLATE_RUN_GLOB/*/models/latest_model.ckpt | head -1
+}
+
+relaunch_slate() {
+  nohup python train_sb3.py ocr=slate pooling=transformer sb3=ppo \
+    sb3_acnet=mlp env=target-N4C4S3S1 \
+    pooling.ocr_checkpoint.local_file=pretrained_encoders/slate.ckpt \
+    sb3.algo_kwargs.ent_coef=0.01 +seeds=1234,2345,3456 num_envs=64 \
+    eval.freq=600 video.interval=500000 +pipeline_rollout=True \
+    +cache_frozen_reps=True "+resume=$(newest_ckpt)" \
+    >> /tmp/slate_ppo_babysit.log 2>&1 &
+  echo $! > /tmp/ppo.pid
+  echo "[queue] relaunched SLATE as $(cat /tmp/ppo.pid)"
+}
+
+DEADLINE=$(date -d '21:30' +%s)
+while true; do
+  PID=$(cat /tmp/ppo.pid)
+  if ! kill -0 "$PID" 2>/dev/null; then
+    sleep 20
+    STEPS=$(ckpt_steps)
+    echo "[queue] SLATE pid $PID gone at $STEPS steps"
+    if [ "$STEPS" -ge 5990000 ] || [ "$(date +%s)" -gt "$DEADLINE" ]; then
+      break
+    fi
+    relaunch_slate
+    sleep 300   # ride out startup/compile before monitoring again
+    continue
+  fi
+  RSS=$(ps -o rss= -p "$PID" | tr -d ' ')
+  if [ -n "$RSS" ] && [ "$RSS" -gt 55000000 ]; then
+    echo "[queue] RSS ${RSS}kB > 55GB — recycling SLATE process"
+    kill "$PID"; sleep 15
+    relaunch_slate
+    sleep 300
+    continue
+  fi
+  if [ "$(date +%s)" -gt "$DEADLINE" ]; then
+    echo "[queue] deadline hit mid-run — stopping SLATE to free the chip"
+    kill "$PID"; sleep 20
+    break
+  fi
+  sleep 120
+done
+echo "[queue] SLATE phase done at $(ckpt_steps) steps"
+
+SLATE_MODELS=$(dirname "$(newest_ckpt)")
 for f in latest_model best_model; do
   echo "[queue] test_sb3 SLATE $f"
   timeout 2400 python test_sb3.py ocr=slate pooling=transformer sb3=ppo \
     sb3_acnet=mlp env=target-N4C4S3S1 +seeds=1234,2345,3456 \
     pooling.ocr_checkpoint.local_file=pretrained_encoders/slate.ckpt \
     sb3.algo_kwargs.ent_coef=0.01 \
-    agent_checkpoint.run_id=$SLATE_RUN/models agent_checkpoint.file=$f \
+    agent_checkpoint.run_id=$SLATE_MODELS agent_checkpoint.file=$f \
     > /tmp/test_slate_$f.log 2>&1
 done
 
 echo "[queue] GT x Object Goal"
-timeout 7200 python train_sb3.py ocr=gt pooling=transformer \
+timeout 5400 python train_sb3.py ocr=gt pooling=transformer \
   pooling.num_layers=3 sb3=ppo sb3_acnet=mlp env=target-N4C4S3S1 \
   sb3.algo_kwargs.ent_coef=0.01 +seeds=1234,2345,3456 num_envs=64 \
   eval.freq=600 video.interval=500000 > /tmp/gt_ppo.log 2>&1
@@ -47,11 +112,8 @@ timeout 3600 python train_property_predictor.py ocr=slate \
 echo "[queue] bench warm-up (new routing-kernel graph into .jax_cache)"
 timeout 5400 python bench.py > /tmp/bench_r3.log 2>&1
 
-echo "[queue] done"
-
-# Started only if wall-clock remains: Slot-Attention (bcdec) full-budget
-# pretrain, bounded to stop before the driver's end-of-round bench needs the
-# chip.  Resumable in round 4 from its checkpoints.
+# Started only if wall-clock remains: Slot-Attention (bcdec) pretrain,
+# bounded to stop before the driver's end-of-round bench needs the chip.
 LEFT=$(( $(date -d '21:55' +%s) - $(date +%s) ))
 if [ "$LEFT" -gt 900 ]; then
   echo "[queue] bcdec pretrain for ${LEFT}s"
