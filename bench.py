@@ -114,9 +114,11 @@ def _run(extra_overrides) -> None:
     # is dispatch-latency-bound at batch 24 — deeper scans amortise it)
     K = int(os.environ.get("BENCH_K", 16))
 
+    PREFETCH = int(os.environ.get("BENCH_PREFETCH", 4))
+
     def superbatches():
         while True:
-            yield from prefetch_to_device(loader, size=2, superbatch=K,
+            yield from prefetch_to_device(loader, size=PREFETCH, superbatch=K,
                                           yield_whole=True)
 
     it = superbatches()

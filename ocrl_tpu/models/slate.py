@@ -58,7 +58,7 @@ class SLATE_Module(nn.Module):
             slot_size=ocr.slotattr.slot_size,
             mlp_hidden_size=ocr.slotattr.mlp_hidden_size,
             num_heads=ocr.slotattr.num_slot_heads,
-            fused=ocr.slotattr.get("fused", "auto"),
+            fused=ocr.slotattr.get("fused", "never"),
         )
         if self._use_bcdec:
             self.bcdec = BroadCastDecoder(

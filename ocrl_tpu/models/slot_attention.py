@@ -27,14 +27,16 @@ class SlotAttention(nn.Module):
     mlp_hidden_size: int
     num_heads: int
     epsilon: float = 1e-8
-    # chunked Pallas routing sweep (ops/slot_routing.py): "auto" (default)
-    # uses it whenever eligible (single head, N divisible by a power-of-two
-    # chunk); "always" asserts eligibility; "never" keeps the pure-jnp
+    # chunked Pallas routing sweep (ops/slot_routing.py): "auto" uses it
+    # whenever eligible (single head, N divisible by a power-of-two chunk);
+    # "always" asserts eligibility; "never" (default) keeps the pure-jnp
     # einsum path.  The sweep streams k/v from HBM in [chunk, D] tiles, so
-    # VMEM use is independent of N — this replaces round 2's whole-N-resident
-    # kernel that needed 20.05 MB > 16 MB scoped VMEM at the real N=4096
-    # shapes and therefore shipped default-off.
-    fused: str = "auto"
+    # VMEM use is independent of N (round 2's whole-N kernel OOM'd at
+    # N=4096); it is nevertheless DEFAULT-OFF on measurement: XLA fuses the
+    # slot-softmax chain into the surrounding matmuls better than the
+    # hand-split kernel boundary allows (1855 vs 1482 imgs/s fixed-batch on
+    # the full SLATE step, v5e, see docs/PARITY.md round 3).
+    fused: str = "never"
 
     def setup(self):
         self.norm_inputs = nn.LayerNorm()
