@@ -363,3 +363,33 @@ def test_cached_frozen_reps_update_matches_uncached(tmp_path):
         a_plain.params, a_cached.params)
     np.testing.assert_allclose(m1["loss"], m2["loss"], rtol=1e-3, atol=1e-4)
     vec.close()
+
+
+def test_video_recorder_reschedules_relative_to_now(tmp_path):
+    """With many envs num_timesteps advances num_envs per frame, so the next
+    trigger must be scheduled relative to NOW — the old start+interval
+    schedule was already in the past and recorded (+ GIF-encoded)
+    continuously."""
+    from ocrl_tpu.rl.video import VideoRecorder
+
+    class FakeVec:
+        def render_frame(self):
+            return np.zeros((8, 8, 3), np.uint8)
+
+    rec = VideoRecorder(tmp_path, interval=5000, length=10)
+    vec = FakeVec()
+    steps = 0
+    recorded_frames = 0
+    for _ in range(100):
+        steps += 192                      # 3 seeds x 64 envs per vec step
+        before = len(rec._frames)
+        rec.maybe_record(vec, steps)
+        recorded_frames += int(len(rec._frames) > before)
+    gifs = list(tmp_path.glob("*.gif"))
+    # 19200 steps at interval 5000 with 10-frame recordings -> 3 recordings
+    # of 10 frames each; the old start+interval schedule re-triggered
+    # instantly after every flush and recorded ALL 100 vec steps
+    assert len(gifs) == 3
+    assert recorded_frames == 30
+    assert not rec._recording
+    assert rec._next_trigger > steps     # idle until now+interval
