@@ -31,11 +31,35 @@ class H5Dataset:
         self._split = split
         self._file: Optional[h5py.File] = None
         self._lock = threading.Lock()
+        self._mmaps: Optional[dict[str, np.memmap]] = None
         with h5py.File(self._path, "r") as f:
             grp = f[split]
             self.keys = [k for k in grp.keys() if k != "num_objs"]
             self.num_samples = grp["obss"].shape[0]
             self.obs_shape = grp["obss"].shape[1:]
+            # contiguous uncompressed datasets (the collectors write these)
+            # are served straight from a memmap: no h5py call, no chunk-cache
+            # copy — reads come out of the page cache at memcpy speed, which
+            # matters on this 1-core host where the loader competes with the
+            # dispatch thread
+            spec = {}
+            for k in self.keys:
+                d = grp[k]
+                off = d.id.get_offset()
+                if d.chunks is None and d.compression is None and off is not None:
+                    spec[k] = (off, tuple(d.shape), d.dtype)
+                else:
+                    spec = None
+                    break
+            self._mmap_spec = spec
+
+    def _mm(self) -> Optional[dict[str, np.memmap]]:
+        if self._mmaps is None and self._mmap_spec:
+            self._mmaps = {
+                k: np.memmap(self._path, dtype=dt, mode="r", offset=off,
+                             shape=shape)
+                for k, (off, shape, dt) in self._mmap_spec.items()}
+        return self._mmaps
 
     @property
     def group(self) -> h5py.Group:
@@ -47,6 +71,11 @@ class H5Dataset:
         return self.num_samples
 
     def read_slice(self, start: int, stop: int) -> dict[str, np.ndarray]:
+        mm = self._mm()
+        if mm is not None:
+            # memmap slices are VIEWS — downstream shuffling gathers from
+            # them directly, so the bytes are copied exactly once
+            return _postprocess({k: m[start:stop] for k, m in mm.items()})
         with self._lock:
             grp = self.group
             out = {}

@@ -91,8 +91,11 @@ class BroadCastDecoder(nn.Module):
     slot_size: int
 
     def setup(self):
-        self.blocks = nn.Sequential([
-            Conv2dBlock(self.hidden_size, 5, 1, 2),
+        # conv1 is held OUTSIDE its relu so __call__ can exploit linearity
+        # (checkpoints from the earlier blocks/layers_* layout are migrated
+        # by utils.checkpoint.migrate_bcdec_tree)
+        self.conv1 = conv2d(self.hidden_size, 5, 1, 2, weight_init="kaiming")
+        self.rest = nn.Sequential([
             Conv2dBlock(self.hidden_size, 5, 1, 2),
             Conv2dBlock(self.hidden_size, 5, 1, 2),
             conv2d(self.obs_channels + 1, 3, 1, 1),
@@ -101,11 +104,32 @@ class BroadCastDecoder(nn.Module):
 
     def __call__(self, slots, with_components=False):
         """slots: [B,N,D] -> composited recon [B,H,W,C]
-        (+ per-slot rgb/masks when with_components)."""
+        (+ per-slot rgb/masks when with_components).
+
+        The first conv layer is restructured EXACTLY (same math, fewer
+        FLOPs): its input `broadcast(slot) + pos` is spatially constant per
+        (b,n) except for the shared positional projection, and conv is
+        linear, so
+            conv1(broadcast(s) + pos) = conv1(broadcast(s)) + conv1(pos) - b
+        with the slot term evaluated on a 5x5 grid (a 5x5 SAME conv on a 5x5
+        constant image realises every border in-bounds pattern) and tiled
+        back to HxW.  This removes the [B*N,H,W,D] broadcast activation
+        (~380MB at SLATE shapes) and a ~300 GFLOP conv from the step
+        (reference semantics: models.py:110-141 — unchanged)."""
         B, N, D = slots.shape
         H = W = self.obs_size
-        grid = jnp.broadcast_to(slots.reshape(B * N, 1, 1, D), (B * N, H, W, D))
-        out = self.blocks(self.pos_emb(grid))
+        # pos_emb(x) = x + proj, proj shared [1,H,W,D]
+        proj = self.pos_emb(jnp.zeros((1, H, W, D), slots.dtype))
+        bias = self.conv1(jnp.zeros((1, 1, 1, D), slots.dtype))
+        # ^ pad-2 conv of a 1x1 zero input: every tap sees zeros -> exactly b
+        small = self.conv1(jnp.broadcast_to(
+            slots.reshape(B * N, 1, 1, D), (B * N, 5, 5, D)))
+        posc = self.conv1(proj)
+        k = 5 // 2
+        idx = jnp.concatenate([jnp.arange(k), jnp.full((H - 2 * k,), k),
+                               jnp.arange(k + 1, 2 * k + 1)]).astype(jnp.int32)
+        slot_part = small[:, idx][:, :, idx]          # [B*N,H,W,hidden]
+        out = self.rest(nn.relu(slot_part + posc - bias))
         img_slots = out[..., : self.obs_channels].reshape(B, N, H, W, self.obs_channels)
         masks = out[..., -1:].reshape(B, N, H, W, 1)
         masks = jax.nn.softmax(masks, axis=1)

@@ -41,9 +41,6 @@ class MultiSeedPPO:
                  num_envs: int, config: PPOConfig, seeds,
                  freeze_ocr: bool = False, pipeline: bool = False,
                  cache_frozen_reps: bool = False):
-        if config.target_kl is not None:
-            raise ValueError("target_kl early-stop is per-seed control flow; "
-                             "use single-seed PPO for target_kl runs")
         self.policy = policy_module
         self.cfg = config
         self.obs_shape = tuple(obs_shape)
@@ -171,23 +168,55 @@ class MultiSeedPPO:
             every seed — as ONE dispatch: lax.scan over the flattened
             minibatch schedule, vmapped single-seed update inside.  On a
             latency-bound transport this replaces ~n_epochs*n_mb host
-            round-trips per rollout with one."""
+            round-trips per rollout with one.
+
+            target_kl (SB3: over-KL minibatch aborts the epoch loop BEFORE
+            its update is applied) is per-seed data-dependent control flow;
+            under the fixed scan schedule it becomes per-seed masking: once a
+            seed's minibatch exceeds 1.5*target_kl, that update and every
+            later one for that seed are where()'d away.  Stopped seeds waste
+            their remaining schedule slots' FLOPs — semantics match SB3."""
+
+            use_kl = cfg.target_kl is not None
 
             def body(carry, xs):
-                params, opt_state = carry
+                params, opt_state, stopped, last_m = carry
                 i, idx = xs          # idx: (S, B) per-seed minibatch rows
                 keys = jax.random.split(jax.random.fold_in(rng, i),
                                         idx.shape[0])
-                params, opt_state, metrics = jax.vmap(
+                new_params, new_opt, metrics = jax.vmap(
                     update_one, in_axes=(0, 0, 0, 0, 0))(
                         params, opt_state, data, idx, keys)
-                return (params, opt_state), metrics
+                if use_kl:
+                    ok = metrics["approx_kl"] <= 1.5 * cfg.target_kl  # (S,)
+                    apply = jnp.logical_and(jnp.logical_not(stopped), ok)
+
+                    def sel(mask, n, o):
+                        m = mask.reshape((-1,) + (1,) * (n.ndim - 1))
+                        return jnp.where(m, n, o)
+
+                    params = jax.tree.map(
+                        lambda n, o: sel(apply, n, o), new_params, params)
+                    opt_state = jax.tree.map(
+                        lambda n, o: sel(apply, n, o), new_opt, opt_state)
+                    # metrics freeze at the stop-triggering minibatch (SB3
+                    # logs that minibatch's approx_kl before breaking)
+                    last_m = jax.tree.map(
+                        lambda n, o: sel(jnp.logical_not(stopped), n, o),
+                        metrics, last_m)
+                    stopped = jnp.logical_or(stopped, jnp.logical_not(ok))
+                else:
+                    params, opt_state, last_m = new_params, new_opt, metrics
+                return (params, opt_state, stopped, last_m), None
 
             n_total = perm_idx.shape[0]
-            (params, opt_state), metrics = jax.lax.scan(
-                body, (params, opt_state),
+            stopped0 = jnp.zeros((self.S,), bool)
+            zeros_m = {k: jnp.zeros((self.S,), jnp.float32)
+                       for k in ("policy_loss", "value_loss", "entropy",
+                                 "approx_kl", "loss")}
+            (params, opt_state, _, last), _ = jax.lax.scan(
+                body, (params, opt_state, stopped0, zeros_m),
                 (jnp.arange(n_total), perm_idx))
-            last = jax.tree.map(lambda m: m[-1], metrics)
             return params, opt_state, last
 
         def rep_one(params, obs, rng, chunk):
@@ -214,6 +243,25 @@ class MultiSeedPPO:
             return epochs_update(params, opt_state, data, perm_idx,
                                  jax.random.fold_in(rng, 1))
 
+        def update_gated(params, opt_state, data, idx, rng, stopped):
+            """Vmapped single-minibatch update with per-seed target_kl
+            masking, for the non-divisible (host-loop) update path."""
+            new_p, new_o, metrics = jax.vmap(
+                update_one, in_axes=(0, 0, 0, 0, 0))(
+                    params, opt_state, data, idx, rng)
+            ok = metrics["approx_kl"] <= 1.5 * cfg.target_kl
+            apply = jnp.logical_and(jnp.logical_not(stopped), ok)
+
+            def sel(n, o):
+                m = apply.reshape((-1,) + (1,) * (n.ndim - 1))
+                return jnp.where(m, n, o)
+
+            params = jax.tree.map(sel, new_p, params)
+            opt_state = jax.tree.map(sel, new_o, opt_state)
+            stopped = jnp.logical_or(stopped, jnp.logical_not(ok))
+            return params, opt_state, metrics, stopped
+
+        self._update_gated = jax.jit(update_gated, donate_argnums=(0, 1))
         self._act = jax.jit(jax.vmap(act_one))
         self._act_det = jax.jit(jax.vmap(act_det_one))
         self._act_det_one = jax.jit(act_det_one)
@@ -423,13 +471,24 @@ class MultiSeedPPO:
                     jnp.asarray(perm_idx, jnp.int32), self._next_rng())
             return {k: np.asarray(v) for k, v in metrics.items()}
         metrics = {}
+        stopped = jnp.zeros((S,), bool)
         for _ in range(cfg.n_epochs):
             perms = np.stack([rng_np.permutation(n) for _ in range(S)])
             for start in range(0, n, cfg.batch_size):
                 idx = jnp.asarray(perms[:, start:start + cfg.batch_size])
-                self.params, self.opt_state, metrics = self._update(
-                    self.params, self.opt_state, data, idx,
-                    self._seed_keys(self._next_rng()))
+                if cfg.target_kl is not None:
+                    (self.params, self.opt_state, metrics,
+                     stopped) = self._update_gated(
+                        self.params, self.opt_state, data, idx,
+                        self._seed_keys(self._next_rng()), stopped)
+                    if bool(np.all(np.asarray(stopped))):
+                        break
+                else:
+                    self.params, self.opt_state, metrics = self._update(
+                        self.params, self.opt_state, data, idx,
+                        self._seed_keys(self._next_rng()))
+            if cfg.target_kl is not None and bool(np.all(np.asarray(stopped))):
+                break
         return {k: np.asarray(v) for k, v in metrics.items()}  # (S,) per key
 
     def learn(self, vec_env, total_timesteps: int,

@@ -5,6 +5,7 @@ from .logger import init_wandb, Image
 from .metrics import adjusted_rand_index, calculate_ari, hungarian_matching
 from .viz import for_viz, visualize, img_to_slot, slot_to_img
 from .checkpoint import save, load, save_checkpoint, load_checkpoint
+from .sharded_checkpoint import save_sharded, load_sharded
 
 
 def get_log_prefix(config) -> str:
@@ -43,5 +44,7 @@ __all__ = [
     "load",
     "save_checkpoint",
     "load_checkpoint",
+    "save_sharded",
+    "load_sharded",
     "get_log_prefix",
 ]

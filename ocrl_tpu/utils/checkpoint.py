@@ -33,6 +33,32 @@ def save_checkpoint(path: str | Path, tree: Any, metadata: dict) -> None:
         f.write(tree_bytes)
 
 
+def migrate_bcdec_tree(d: Any) -> Any:
+    """Rename BroadCastDecoder state saved under the pre-round-4
+    ``blocks/layers_{0..3}`` layout to the ``conv1``/``rest`` layout
+    (the first conv was split out of its relu so the spatially-constant
+    broadcast input can be evaluated on a 5x5 grid — models/dvae.py).
+    Applies recursively, so optimizer-state mirrors of the param tree are
+    migrated too."""
+    if not isinstance(d, dict):
+        return d
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict) and k == "bcdec" and "blocks" in v \
+                and "layers_0" in v["blocks"]:
+            b = v["blocks"]
+            nv = {kk: migrate_bcdec_tree(vv)
+                  for kk, vv in v.items() if kk != "blocks"}
+            nv["conv1"] = b["layers_0"]["Conv_0"]
+            nv["rest"] = {"layers_0": b["layers_1"],
+                          "layers_1": b["layers_2"],
+                          "layers_2": b["layers_3"]}
+            out[k] = nv
+        else:
+            out[k] = migrate_bcdec_tree(v)
+    return out
+
+
 def load_checkpoint(path: str | Path, template: Any) -> tuple[Any, dict]:
     """Restore (tree, metadata); `template` supplies pytree structure/dtypes."""
     with open(path, "rb") as f:
@@ -41,7 +67,12 @@ def load_checkpoint(path: str | Path, template: Any) -> tuple[Any, dict]:
             raise ValueError(f"Not an ocrl_tpu checkpoint: {path}")
         (meta_len,) = struct.unpack("<Q", f.read(8))
         metadata = json.loads(f.read(meta_len).decode())
-        tree = serialization.from_bytes(template, f.read())
+        payload = f.read()
+        try:
+            tree = serialization.from_bytes(template, payload)
+        except (KeyError, ValueError):
+            raw = migrate_bcdec_tree(serialization.msgpack_restore(payload))
+            tree = serialization.from_state_dict(template, raw)
     return tree, metadata
 
 

@@ -392,3 +392,38 @@ def test_video_recorder_reschedules_relative_to_now(tmp_path):
     assert 2 <= len(gifs) <= 3
     # the old bug recorded on ~every one of the 100 vec steps
     assert recorded_frames <= 35
+
+
+@pytest.mark.parametrize("mb", [8, 12])  # 8 divides n=16 (scan path); 12 not
+def test_multi_seed_target_kl_masks_per_seed(mb):
+    """SB3 target_kl semantics per seed under the vmapped update: a seed
+    whose minibatch exceeds 1.5*target_kl applies NO further updates (not
+    even the triggering one), while other seeds keep training."""
+    import jax
+    from ocrl_tpu.rl.multi_seed import MultiSeedPPO
+    from ocrl_tpu.rl.vec_env import make_multi_seed_vec_env
+
+    cfg = gt_config()
+    seeds = [11, 22]
+    vec = make_multi_seed_vec_env(envs.TargetEnv, cfg.env, 2, seeds,
+                                  mode="dummy")
+    policy, ocr, freeze, _ = build_policy(cfg, seed=0)
+    algo = MultiSeedPPO(policy, vec.observation_space.shape, False, 2,
+                        PPOConfig(n_steps=16, batch_size=mb, n_epochs=2,
+                                  target_kl=1e-12),
+                        seeds, freeze_ocr=freeze)
+    obs = vec.reset()
+    _, batch, _ = algo.collect_rollout(vec, obs, 8)
+    # poison seed 0 only: its very first minibatch blows past 1.5*target_kl
+    batch["logprobs"][0] += 5.0
+    before = jax.tree.map(np.asarray, algo.params)
+    algo.train_on_rollout(batch)
+
+    def seed_diff(s):
+        return sum(jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a)[s] - b[s]).sum()),
+            algo.params, before)))
+
+    assert seed_diff(0) == 0.0   # poisoned seed: no update applied
+    assert seed_diff(1) > 0.0    # clean seed: first (kl=0) minibatch applied
+    vec.close()

@@ -25,7 +25,11 @@ def slate():
 
 @pytest.fixture(scope="module")
 def slotattn_model():
-    cfg = compose("train_ocr", TINY + ["ocr.use_bcdec=True"])
+    # short lr warmup so the handful of test steps train at a real lr
+    # (the default 30k-step warmup leaves step<15 at ~1e-8, where the loss
+    # trajectory is dominated by slot-init sampling noise)
+    cfg = compose("train_ocr", TINY + ["ocr.use_bcdec=True",
+                                       "ocr.learning.lr_warmup_steps=10"])
     return create_ocr(cfg.ocr, cfg.dataset, seed=0)
 
 
@@ -80,9 +84,11 @@ def test_slotattention_bcdec_mode(slotattn_model):
     m0 = slotattn_model.update(OBS, None, 0)
     assert set(m0) == {"loss", "mse", "norm"}
     losses = [float(m0["loss"])]
-    for step in range(1, 15):
+    for step in range(1, 40):
         losses.append(float(slotattn_model.update(OBS, None, step)["loss"]))
-    assert losses[-1] < losses[0]  # broadcast decoder learns the fixed batch
+    # broadcast decoder learns the fixed batch (averaged ends: slot init is
+    # sampled per call, so single-step comparisons are noisy)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
     s = slotattn_model.get_samples(OBS)
     assert s["samples"].shape == (2, 16, 16 * 5, 3)  # obs, recon, 3 slot attns
 
@@ -168,3 +174,61 @@ def test_gumbel_softmax_straight_through():
 
     g = jax.grad(f)(logits)
     assert np.all(np.isfinite(np.asarray(g))) and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_bcdec_restructured_conv1_matches_naive():
+    """The 5x5-grid/tile evaluation of conv1 over the spatially-constant
+    broadcast input must EXACTLY match the naive full-resolution conv
+    (linearity + border-pattern coverage; models/dvae.py)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from ocrl_tpu.models.dvae import BroadCastDecoder
+
+    dec = BroadCastDecoder(obs_size=16, obs_channels=3, hidden_size=8,
+                           slot_size=12)
+    slots = np.random.default_rng(1).standard_normal((2, 3, 12)).astype("float32")
+    params = dec.init(jax.random.PRNGKey(0), slots)["params"]
+    fast = dec.apply({"params": params}, slots)
+
+    def naive(mod, slots):
+        B, N, D = slots.shape
+        H = W = mod.obs_size
+        grid = jnp.broadcast_to(slots.reshape(B * N, 1, 1, D), (B * N, H, W, D))
+        out = mod.rest(nn.relu(mod.conv1(mod.pos_emb(grid))))
+        img = out[..., : mod.obs_channels].reshape(B, N, H, W, mod.obs_channels)
+        masks = jax.nn.softmax(out[..., -1:].reshape(B, N, H, W, 1), axis=1)
+        return (img * masks).sum(axis=1)
+
+    ref = dec.apply({"params": params}, slots, method=naive)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_bcdec_checkpoint_migration():
+    """Pre-round-4 blocks/layers_* checkpoints load into the conv1/rest
+    layout via migrate_bcdec_tree (params and any opt-state mirror)."""
+    import jax
+    from flax import serialization
+    from ocrl_tpu.models.dvae import BroadCastDecoder
+    from ocrl_tpu.utils.checkpoint import migrate_bcdec_tree
+
+    dec = BroadCastDecoder(obs_size=16, obs_channels=3, hidden_size=8,
+                           slot_size=12)
+    slots = np.zeros((1, 2, 12), "float32")
+    params = dec.init(jax.random.PRNGKey(0), slots)["params"]
+    sd = serialization.to_state_dict(params)
+    old = {"bcdec": {
+        "pos_emb": sd["pos_emb"],
+        "blocks": {
+            "layers_0": {"Conv_0": sd["conv1"]},
+            "layers_1": sd["rest"]["layers_0"],
+            "layers_2": sd["rest"]["layers_1"],
+            "layers_3": sd["rest"]["layers_2"],
+        }}}
+    migrated = migrate_bcdec_tree({"params": old, "opt": {"mu": old}})
+    expect = {"params": {"bcdec": sd}, "opt": {"mu": {"bcdec": sd}}}
+    assert (jax.tree_util.tree_structure(migrated)
+            == jax.tree_util.tree_structure(expect))
+    assert all(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b: bool(np.asarray(a == b).all()), migrated, expect)))
