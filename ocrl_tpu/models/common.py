@@ -9,7 +9,7 @@ schedules so they can live inside jit.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -34,14 +34,19 @@ def linear(features: int, bias: bool = True, weight_init: str = "xavier",
 
 
 def conv2d(features: int, kernel_size: int, stride: int = 1, padding=0,
-           bias: bool = True, weight_init: str = "xavier", name=None) -> nn.Conv:
-    """Init-controlled Conv (reference: ocrs/common/networks.py:6-35); NHWC."""
+           bias: bool = True, weight_init: str = "xavier", name=None,
+           dtype=None) -> nn.Conv:
+    """Init-controlled Conv (reference: ocrs/common/networks.py:6-35); NHWC.
+
+    `dtype` is the COMPUTE dtype (flax semantics): params stay f32 on disk
+    and in the optimizer; bf16 here halves the HBM traffic of the conv's
+    activations/gradients on TPU (the step is HBM-bound at batch 24)."""
     init = kaiming_uniform if weight_init == "kaiming" else xavier_uniform(1.0)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     return nn.Conv(features, (kernel_size, kernel_size), strides=(stride, stride),
                    padding=padding, use_bias=bias, kernel_init=init,
-                   bias_init=nn.initializers.zeros, name=name)
+                   bias_init=nn.initializers.zeros, name=name, dtype=dtype)
 
 
 class Conv2dBlock(nn.Module):
@@ -51,11 +56,12 @@ class Conv2dBlock(nn.Module):
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = conv2d(self.features, self.kernel_size, self.stride, self.padding,
-                   weight_init="kaiming")(x)
+                   weight_init="kaiming", dtype=self.dtype)(x)
         return nn.relu(x)
 
 

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -16,22 +18,28 @@ class dVAE(nn.Module):
 
     vocab_size: int
     img_channels: int
+    dtype: Any = None    # conv COMPUTE dtype (bf16 halves HBM traffic);
+    # logits/outputs are cast back to f32 before softmax/MSE
 
     def setup(self):
+        dt = self.dtype
         self.encoder = nn.Sequential([
-            Conv2dBlock(64, 4, 4),
-            Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
-            Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
-            conv2d(self.vocab_size, 1),
+            Conv2dBlock(64, 4, 4, dtype=dt),
+            Conv2dBlock(64, 1, 1, dtype=dt), Conv2dBlock(64, 1, 1, dtype=dt),
+            Conv2dBlock(64, 1, 1, dtype=dt), Conv2dBlock(64, 1, 1, dtype=dt),
+            Conv2dBlock(64, 1, 1, dtype=dt), Conv2dBlock(64, 1, 1, dtype=dt),
+            conv2d(self.vocab_size, 1, dtype=dt),
         ])
         self.decoder_blocks = [
-            Conv2dBlock(64, 1),
-            Conv2dBlock(64, 3, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
-            Conv2dBlock(64 * 2 * 2, 1),          # -> pixel_shuffle(2)
-            Conv2dBlock(64, 3, 1, 1), Conv2dBlock(64, 1, 1), Conv2dBlock(64, 1, 1),
-            Conv2dBlock(64 * 2 * 2, 1),          # -> pixel_shuffle(2)
+            Conv2dBlock(64, 1, dtype=dt),
+            Conv2dBlock(64, 3, 1, 1, dtype=dt), Conv2dBlock(64, 1, 1, dtype=dt),
+            Conv2dBlock(64, 1, 1, dtype=dt),
+            Conv2dBlock(64 * 2 * 2, 1, dtype=dt),    # -> pixel_shuffle(2)
+            Conv2dBlock(64, 3, 1, 1, dtype=dt), Conv2dBlock(64, 1, 1, dtype=dt),
+            Conv2dBlock(64, 1, 1, dtype=dt),
+            Conv2dBlock(64 * 2 * 2, 1, dtype=dt),    # -> pixel_shuffle(2)
         ]
-        self.decoder_out = conv2d(self.img_channels, 1)
+        self.decoder_out = conv2d(self.img_channels, 1, dtype=dt)
 
     def __call__(self, obs, tau=1.0, hard=True):
         """obs: [B,H,W,C] -> (z [B,h,w,vocab] one-hot-ish, z_logits).
@@ -44,7 +52,7 @@ class dVAE(nn.Module):
         The soft sample runs as a fused Pallas kernel with on-chip PRNG on
         TPU (ocrl_tpu/ops/gumbel.py).
         """
-        z_logits = self.encoder(obs)
+        z_logits = self.encoder(obs).astype(jnp.float32)
         if hard:
             z = gumbel_softmax(self.make_rng("noise"), z_logits, tau, True, axis=-1)
         else:
@@ -57,7 +65,7 @@ class dVAE(nn.Module):
         return z, z_logits
 
     def encode_logits(self, obs):
-        return self.encoder(obs)
+        return self.encoder(obs).astype(jnp.float32)
 
     def decode(self, z):
         x = z
@@ -65,20 +73,22 @@ class dVAE(nn.Module):
             x = block(x)
             if i in (4, 8):
                 x = pixel_shuffle(x, 2)
-        return self.decoder_out(x)
+        return self.decoder_out(x).astype(jnp.float32)
 
 
 class SlotAttnCNNEncoder(nn.Module):
     """Full-resolution CNN feature extractor (reference: models.py:96-107)."""
 
     hidden_size: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, obs):
-        x = Conv2dBlock(self.hidden_size, 5, 1, 2)(obs)
-        x = Conv2dBlock(self.hidden_size, 5, 1, 2)(x)
-        x = Conv2dBlock(self.hidden_size, 5, 1, 2)(x)
-        return conv2d(self.hidden_size, 5, 1, 2)(x)
+        x = Conv2dBlock(self.hidden_size, 5, 1, 2, dtype=self.dtype)(obs)
+        x = Conv2dBlock(self.hidden_size, 5, 1, 2, dtype=self.dtype)(x)
+        x = Conv2dBlock(self.hidden_size, 5, 1, 2, dtype=self.dtype)(x)
+        out = conv2d(self.hidden_size, 5, 1, 2, dtype=self.dtype)(x)
+        return out.astype(jnp.float32)  # slot attention runs f32
 
 
 class BroadCastDecoder(nn.Module):
@@ -89,16 +99,18 @@ class BroadCastDecoder(nn.Module):
     obs_channels: int
     hidden_size: int
     slot_size: int
+    dtype: Any = None
 
     def setup(self):
         # conv1 is held OUTSIDE its relu so __call__ can exploit linearity
         # (checkpoints from the earlier blocks/layers_* layout are migrated
         # by utils.checkpoint.migrate_bcdec_tree)
-        self.conv1 = conv2d(self.hidden_size, 5, 1, 2, weight_init="kaiming")
+        self.conv1 = conv2d(self.hidden_size, 5, 1, 2, weight_init="kaiming",
+                            dtype=self.dtype)
         self.rest = nn.Sequential([
-            Conv2dBlock(self.hidden_size, 5, 1, 2),
-            Conv2dBlock(self.hidden_size, 5, 1, 2),
-            conv2d(self.obs_channels + 1, 3, 1, 1),
+            Conv2dBlock(self.hidden_size, 5, 1, 2, dtype=self.dtype),
+            Conv2dBlock(self.hidden_size, 5, 1, 2, dtype=self.dtype),
+            conv2d(self.obs_channels + 1, 3, 1, 1, dtype=self.dtype),
         ])
         self.pos_emb = PositionalEmbedding(self.obs_size, self.slot_size)
 
@@ -129,7 +141,7 @@ class BroadCastDecoder(nn.Module):
         idx = jnp.concatenate([jnp.arange(k), jnp.full((H - 2 * k,), k),
                                jnp.arange(k + 1, 2 * k + 1)]).astype(jnp.int32)
         slot_part = small[:, idx][:, :, idx]          # [B*N,H,W,hidden]
-        out = self.rest(nn.relu(slot_part + posc - bias))
+        out = self.rest(nn.relu(slot_part + posc - bias)).astype(jnp.float32)
         img_slots = out[..., : self.obs_channels].reshape(B, N, H, W, self.obs_channels)
         masks = out[..., -1:].reshape(B, N, H, W, 1)
         masks = jax.nn.softmax(masks, axis=1)

@@ -48,8 +48,15 @@ class SLATE_Module(nn.Module):
         self._hard = ocr.hard
         self._dropout = ocr.learning.dropout
 
-        self.dvae = dVAE(self._vocab_size, self._obs_channels)
-        self.enc = SlotAttnCNNEncoder(ocr.cnn.hidden_size)
+        # `ocr.amp=bf16` runs the conv stacks (dVAE enc/dec, CNN encoder,
+        # broadcast decoder) in bf16 COMPUTE with f32 params/loss — the step
+        # is HBM-bound at batch 24 (docs/PARITY.md roofline) and these are
+        # its biggest activation streams.  Default off: bit-parity with the
+        # reference's fp32 training.
+        amp = ocr.get("amp") if hasattr(ocr, "get") else None
+        cdt = jnp.bfloat16 if amp == "bf16" else None
+        self.dvae = dVAE(self._vocab_size, self._obs_channels, dtype=cdt)
+        self.enc = SlotAttnCNNEncoder(ocr.cnn.hidden_size, dtype=cdt)
         self.enc_pos = PositionalEmbedding(env.obs_size, ocr.cnn.hidden_size)
         self.slotattn = SlotAttentionEncoder(
             num_iterations=ocr.slotattr.num_iterations,
@@ -63,7 +70,7 @@ class SLATE_Module(nn.Module):
         if self._use_bcdec:
             self.bcdec = BroadCastDecoder(
                 env.obs_size, self._obs_channels, ocr.cnn.hidden_size,
-                ocr.slotattr.slot_size)
+                ocr.slotattr.slot_size, dtype=cdt)
         self.slotproj = linear(self._d_model, bias=False)
         self.dictionary = nn.Embed(self._vocab_size, self._d_model)
         self.bos = self.param("bos", xavier_uniform(), (1, 1, self._d_model))

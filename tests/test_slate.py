@@ -232,3 +232,15 @@ def test_bcdec_checkpoint_migration():
             == jax.tree_util.tree_structure(expect))
     assert all(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
         lambda a, b: bool(np.asarray(a == b).all()), migrated, expect)))
+
+
+def test_slate_amp_bf16_trains_f32_params():
+    """ocr.amp=bf16: conv stacks compute in bf16, params and loss stay f32,
+    one update step is finite and changes params."""
+    import jax
+    cfg = compose("train_ocr", TINY + ["ocr.amp=bf16"])
+    model = create_ocr(cfg.ocr, cfg.dataset, seed=0)
+    m = model.update(OBS, None, 0)
+    assert np.isfinite(float(m["loss"]))
+    leaves = jax.tree_util.tree_leaves(model.params)
+    assert all(l.dtype == np.float32 for l in leaves)

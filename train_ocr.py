@@ -71,7 +71,12 @@ def main(config):
     superbatch = int(config.get("superbatch", 16))
     batch_size = int(config.batch_size)
     tracing = False
-    while epoch < config.max_epochs:
+    # optional hard step budget (`+max_steps=250000`): stop mid-epoch once
+    # the optimizer-step counter reaches it (the reference trains by epochs;
+    # its published budgets are in steps, e.g. lr_half_life=250k)
+    max_steps = config.get("max_steps")
+    max_steps = int(float(max_steps)) if max_steps not in (None, "null") else None
+    while epoch < config.max_epochs and (max_steps is None or step < max_steps):
         t0, imgs = time.time(), 0
         for batch in prefetch_to_device(train_dl, size=2, superbatch=superbatch,
                                         yield_whole=True):
@@ -112,9 +117,15 @@ def main(config):
                 flush_pending()
                 best_val_loss = eval_and_save(
                     model, val_dl, epoch, step, best_val_loss, config, run)
+            if max_steps is not None and step >= max_steps:
+                break
         epoch += 1
         flush_pending()
         logger.log({"epoch": epoch}, step=step)
+    if max_steps is not None and step >= max_steps:
+        # final eval+save at the budget boundary (the in-loop save fires on
+        # eval_interval crossings, which k-strided steps can straddle)
+        eval_and_save(model, val_dl, epoch, step, best_val_loss, config, run)
 
 
 def eval_and_save(model, val_dl, epoch, step, best_val_loss, config, run):
