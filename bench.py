@@ -16,12 +16,15 @@ JAX's default matmul precision on TPU computes f32 arrays via one-pass bf16
 MXU passes with f32 accumulation, so bf16 peak is the honest ceiling).
 
 vs_baseline: the reference publishes NO throughput numbers anywhere
-(BASELINE.md §Throughput: "Absent from the reference").  The denominator is a
-documented estimate of the reference's torch implementation on an A100:
-~450 imgs/s at batch 24 (per-step Python-loop slot attention and an unfused
-dVAE put optimistic A100 torch rates in the 300-600 imgs/s range; we take the
-midpoint).  BASELINE.json's north star asks for >=5x that on a v5e-8 slice,
-i.e. ~281 imgs/s per chip; single-chip parity target is 450.
+(BASELINE.md §Throughput: "Absent from the reference").  The denominator is
+the reference's estimated A100 rate, 450 imgs/s at batch 24 — ANCHORED in
+round 4 by measurement (scripts/measure_ref_cpu.py): the reference torch
+step runs at 1.58 imgs/s on this host's single CPU core (our JAX step: 1.49
+— the implementations are a wash on identical silicon), so 450 corresponds
+to a 285x A100-over-one-core uplift, the optimistic end of typical
+single-A100 torch speedups for conv-dominated fp32 models.  BASELINE.json's
+north star asks for >=5x that on a v5e-8 slice, i.e. ~281 imgs/s per chip;
+single-chip parity target is 450.
 """
 
 import json
@@ -188,6 +191,15 @@ def _run(extra_overrides) -> None:
         "fixed_batch_imgs_per_sec": round(fixed_imgs_per_sec, 1),
         "superbatch_k": K,
         "device": kind,
+        # measured anchor for the denominator (round 4, scripts/
+        # measure_ref_cpu.py): the reference torch step does 1.58 imgs/s on
+        # this host's CPU core (our JAX step: 1.49 — a wash on the same
+        # silicon), so the 450 A100 estimate = 285x one-core torch, the
+        # optimistic end of typical single-A100 uplift for conv-dominated
+        # fp32 models — generous to the reference.
+        "baseline_anchor": {"ref_torch_cpu_imgs_per_sec": 1.58,
+                            "ours_jax_cpu_imgs_per_sec": 1.49,
+                            "assumed_a100_over_cpu_core": 285},
     }))
 
 
