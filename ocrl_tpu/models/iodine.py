@@ -54,16 +54,38 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, slots):
-        """slots: [B,K,L] -> (recons [B,K,H,W,3], mask_logits [B,K,H,W,1])."""
+        """slots: [B,K,L] -> (recons [B,K,H,W,3], mask_logits [B,K,H,W,1]).
+
+        The first conv's input is `concat(broadcast(slot), coords)` — the
+        slot half is spatially constant per (b,k) and the coord half is
+        shared across (b,k) — so by linearity it is evaluated EXACTLY as
+        conv1(slot-part on a (2p+1)^2 grid, tiled) + conv1(coord-part, once)
+        - bias, skipping the [B*K,H,W,L] broadcast activation and its
+        full-resolution conv (same restructure as the SLATE broadcast
+        decoder; reference semantics iodine_module.py:333-368 unchanged —
+        IODINE re-decodes 5x per step with second-order autodiff, so this
+        activation would otherwise be materialised and re-read many times)."""
         B, K, L = slots.shape
         H = W = self.img_size
-        x = jnp.broadcast_to(slots.reshape(B * K, 1, 1, L), (B * K, H, W, L))
+        pad = self.kernel_size // 2
+        conv1 = nn.Conv(self.dim_hidden, (self.kernel_size, self.kernel_size),
+                        padding=[(pad, pad), (pad, pad)])
+        g = 2 * pad + 1
+        small = conv1(jnp.concatenate([
+            jnp.broadcast_to(slots.reshape(B * K, 1, 1, L), (B * K, g, g, L)),
+            jnp.zeros((B * K, g, g, 2), slots.dtype)], axis=-1))
         yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W),
                               indexing="ij")
-        coords = jnp.broadcast_to(jnp.stack([xx, yy], -1)[None], (B * K, H, W, 2))
-        x = jnp.concatenate([x, coords], axis=-1)
-        x = MultiLayerConv(self.dim_hidden, self.n_layers, self.kernel_size)(x)
-        pad = self.kernel_size // 2
+        coords = jnp.stack([xx, yy], -1)[None]                    # [1,H,W,2]
+        coordc = conv1(jnp.concatenate(
+            [jnp.zeros((1, H, W, L), slots.dtype), coords], axis=-1))
+        bias = conv1(jnp.zeros((1, 1, 1, L + 2), slots.dtype))
+        idx = jnp.concatenate([jnp.arange(pad), jnp.full((H - 2 * pad,), pad),
+                               jnp.arange(pad + 1, 2 * pad + 1)]).astype(jnp.int32)
+        x = nn.elu(small[:, idx][:, :, idx] + coordc - bias)
+        if self.n_layers > 1:
+            x = MultiLayerConv(self.dim_hidden, self.n_layers - 1,
+                               self.kernel_size)(x)
         x = nn.Conv(4, (self.kernel_size, self.kernel_size),
                     padding=[(pad, pad), (pad, pad)])(x)
         recons = x[..., :3].reshape(B, K, H, W, 3)

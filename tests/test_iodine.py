@@ -50,3 +50,40 @@ def test_iodine_ari_and_masks(iodine):
     # obs + recon + 3*(masked, mask, means) panels wide
     assert samples["samples"].shape[0] == 2
     assert samples["samples"].shape[-1] == 3
+
+
+def test_iodine_decoder_restructure_matches_naive_conv():
+    """Decoder's grid-evaluated first conv must equal the naive full-res conv
+    over concat(broadcast(slot), coords) (linearity + border coverage)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from ocrl_tpu.models.iodine import Decoder
+
+    B, K, L, H = 2, 3, 5, 9
+    dec = Decoder(dim_hidden=6, n_layers=1, kernel_size=3, img_size=H)
+    slots = np.random.default_rng(0).standard_normal((B, K, L)).astype("float32")
+    params = dec.init(jax.random.PRNGKey(1), slots)["params"]
+    recons, mask_logits = dec.apply({"params": params}, slots)
+
+    # naive: full-resolution conv over the broadcast input
+    x = jnp.broadcast_to(slots.reshape(B * K, 1, 1, L), (B * K, H, H, L))
+    yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, H),
+                          indexing="ij")
+    coords = jnp.broadcast_to(jnp.stack([xx, yy], -1)[None], (B * K, H, H, 2))
+    x = jnp.concatenate([x, coords], -1)
+
+    def conv(x, p):
+        y = lax.conv_general_dilated(
+            x, p["kernel"], (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + p["bias"]
+
+    y = jax.nn.elu(conv(x, params["Conv_0"]))
+    y = conv(y, params["Conv_1"])
+    np.testing.assert_allclose(
+        np.asarray(recons),
+        np.asarray(y[..., :3].reshape(B, K, H, H, 3)), atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(mask_logits),
+        np.asarray(y[..., 3:].reshape(B, K, H, H, 1)), atol=3e-5, rtol=1e-4)
