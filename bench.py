@@ -75,8 +75,13 @@ def _env_cfg():
 
 
 def main() -> None:
+    import sys as _sys
+
+    # ad-hoc ablations: `python bench.py ocr.amp=bf16` etc. (the driver's
+    # argv-less invocation measures the default fp32 protocol)
+    argv_overrides = [a for a in _sys.argv[1:] if "=" in a]
     try:
-        _run([])
+        _run(argv_overrides)
     except Exception as e:  # pragma: no cover - hardware-specific safety net
         import sys
         import traceback
