@@ -65,7 +65,17 @@ def _collect_worker(args):
                 masks = np.empty((count,) + m.shape, dtype=np.uint8)
             masks[i] = m.astype(np.uint8)
         if with_labels:
-            labels[i] = env._target_obj_idx
+            # classification target must be OBSERVABLE from the image: the
+            # raw _target_obj_idx is an internal list position that is
+            # random w.r.t. pixels for synthetic envs (the reference's CW
+            # collector gets away with the index because its easy-mode
+            # position table is fixed per index, target.py:176-181; its
+            # synthetic classifier collector is absent from the snapshot).
+            # Label = image quadrant of the target object's centre — a
+            # 4-class position-binding probe (num_labels=4 preserved).
+            state = env.render("state", fill_empty=True)
+            tx, ty = state[env._target_obj_idx][-2:]
+            labels[i] = int(ty > 0.5) * 2 + int(tx > 0.5)
         if with_states:
             # per-object GT rows (objects only, zero-padded; agent row dropped)
             state = env.render("state", fill_empty=True)

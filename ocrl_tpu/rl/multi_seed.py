@@ -351,6 +351,99 @@ class MultiSeedPPO:
                  "returns": per_seed(returns)}
         return obs, batch, ep_infos
 
+    def collect_rollout_deep(self, vec_env, obs, n_steps: int,
+                             step_callback: Optional[Callable] = None,
+                             buckets: int = 8):
+        """B-bucket software-pipelined rollout: envs are split into B
+        buckets per seed and up to B policy dispatches ride the transport
+        CONCURRENTLY (jax async dispatch; the host blocks only on the
+        oldest bucket's result).  On a high-RTT transport this bounds the
+        vec-step time by host work instead of the round trip — the 2-half
+        variant below holds only ONE dispatch in flight and degenerates to
+        ~2x the RTT per vec step when envs are few.  Trajectories are not
+        bit-identical to the serial path (per-bucket rng streams), but
+        per-env streams and all PPO semantics are unchanged."""
+        S, E = self.S, self.num_envs
+        B = buckets
+        while B > 1 and E % B:
+            B //= 2
+        EB = E // B
+        cfg = self.cfg
+        assert vec_env.num_envs == S * E
+        obs_dtype = np.uint8 if self.is_image_obs else np.float32
+        buf_obs = np.empty((n_steps, S, E) + obs.shape[1:], obs_dtype)
+        buf_actions = np.empty((n_steps, S, E), np.int32)
+        buf_logprobs = np.empty((n_steps, S, E), np.float32)
+        buf_values = np.empty((n_steps, S, E), np.float32)
+        buf_rewards = np.empty((n_steps, S, E), np.float32)
+        buf_dones = np.empty((n_steps, S, E), np.float32)
+        ep_infos = [[] for _ in range(S)]
+
+        slices = [slice(i * EB, (i + 1) * EB) for i in range(B)]
+        idx = [np.array([s * E + e for s in range(S)
+                         for e in range(sl.start, sl.stop)]) for sl in slices]
+        grouped = obs.reshape((S, E) + obs.shape[1:])
+        cur = [np.ascontiguousarray(grouped[:, sl]) for sl in slices]
+        step_keys = self._np_key((n_steps + 1) * B * S).reshape(
+            n_steps + 1, B, S, 2)
+        inflight: list = [None] * B
+
+        def dispatch(b, t):
+            # returns immediately (async dispatch); result collected later
+            inflight[b] = self._act(self.params, jnp.asarray(cur[b]),
+                                    jnp.asarray(step_keys[t, b]))
+
+        for b in range(B):
+            dispatch(b, 0)
+        for t in range(n_steps):
+            for b in range(B):
+                action, logprob, value = jax.device_get(inflight[b])
+                sl = slices[b]
+                buf_obs[t][:, sl] = cur[b]
+                buf_actions[t][:, sl] = action
+                buf_logprobs[t][:, sl] = logprob
+                buf_values[t][:, sl] = value
+                o, rewards, dones, infos = vec_env.step_indices(
+                    idx[b], action.reshape(-1))
+                cur[b] = o.reshape((S, EB) + o.shape[1:])
+                buf_rewards[t][:, sl] = rewards.reshape(S, EB)
+                buf_dones[t][:, sl] = dones.reshape(S, EB)
+                for j, info in enumerate(infos):
+                    if "is_success" in info and "terminal_observation" in info:
+                        ep_infos[int(idx[b][j]) // E].append(info)
+                if t + 1 < n_steps:
+                    dispatch(b, t + 1)
+            self.num_timesteps += S * E
+            if step_callback is not None:
+                step_callback(self)
+
+        full = np.concatenate(cur, axis=1)                 # (S, E, ...)
+        obs = full.reshape((S * E,) + full.shape[2:])
+        last_values = np.asarray(self._values(
+            self.params, jnp.asarray(full),
+            jnp.asarray(step_keys[n_steps, 0])))
+
+        advantages = np.zeros_like(buf_rewards)
+        gae = np.zeros((S, E), np.float32)
+        for t in reversed(range(n_steps)):
+            next_v = last_values if t == n_steps - 1 else buf_values[t + 1]
+            nonterminal = 1.0 - buf_dones[t]
+            delta = buf_rewards[t] + cfg.gamma * next_v * nonterminal - buf_values[t]
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            advantages[t] = gae
+        returns = advantages + buf_values
+
+        def per_seed(a):
+            return np.ascontiguousarray(a.swapaxes(0, 1)).reshape(
+                (S, n_steps * E) + a.shape[3:])
+
+        batch = {"obs": per_seed(buf_obs), "actions": per_seed(buf_actions),
+                 "logprobs": per_seed(buf_logprobs),
+                 "values": per_seed(buf_values),
+                 "advantages": per_seed(advantages),
+                 "returns": per_seed(returns)}
+        return obs, batch, ep_infos
+
     def collect_rollout_pipelined(self, vec_env, obs, n_steps: int,
                                   step_callback: Optional[Callable] = None):
         """Double-buffered variant of collect_rollout: envs are split into
@@ -496,7 +589,7 @@ class MultiSeedPPO:
               step_callback: Optional[Callable] = None):
         obs = vec_env.reset()
         n_steps = max(self.cfg.n_steps // self.num_envs, 1)
-        collect = (self.collect_rollout_pipelined if self.pipeline
+        collect = (self.collect_rollout_deep if self.pipeline
                    else self.collect_rollout)
         while self.num_timesteps < total_timesteps * self.S:
             obs, batch, ep_infos = collect(
