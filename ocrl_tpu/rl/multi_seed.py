@@ -113,6 +113,16 @@ class MultiSeedPPO:
                 jnp.arange(logits.shape[0]), action]
             return action, logprob, value
 
+        def act_packed_one(params, obs, keys_all, t):
+            """act_one with (a) the whole rollout's keys resident on device
+            (one upload per rollout instead of one per vec step) and (b) the
+            three outputs PACKED into one f32 array (one download per vec
+            step instead of three) — on a high-RTT transport each saved
+            transfer is a round trip off the rollout critical path."""
+            rng = jax.lax.dynamic_index_in_dim(keys_all, t, keepdims=False)
+            a, lp, v = act_one(params, obs, rng)
+            return jnp.stack([a.astype(jnp.float32), lp, v])   # (3, E)
+
         def act_det_one(params, obs, rng):
             logits, _ = policy.apply({"params": params}, prep(obs),
                                      rngs=self._rngs(rng))
@@ -263,6 +273,8 @@ class MultiSeedPPO:
 
         self._update_gated = jax.jit(update_gated, donate_argnums=(0, 1))
         self._act = jax.jit(jax.vmap(act_one))
+        self._act_packed = jax.jit(
+            jax.vmap(act_packed_one, in_axes=(0, 0, 0, None)))
         self._act_det = jax.jit(jax.vmap(act_det_one))
         self._act_det_one = jax.jit(act_det_one)
         self._act_sample_one = jax.jit(act_sample_one)
@@ -301,15 +313,20 @@ class MultiSeedPPO:
         buf_dones = np.empty((n_steps, S, E), np.float32)
         ep_infos = [[] for _ in range(S)]
 
-        # all rollout keys drawn host-side up front: the only device
-        # interactions per env step are ONE act dispatch + ONE fetch
+        # all rollout keys drawn host-side up front AND staged to the device
+        # ONCE: per env step the device interactions are ONE obs upload, ONE
+        # act dispatch, ONE packed fetch (action|logprob|value in a single
+        # array) — each eliminated transfer is a full transport round trip
         step_keys = self._np_key((n_steps + 1) * S).reshape(n_steps + 1, S, 2)
+        keys_dev = jnp.asarray(
+            np.ascontiguousarray(step_keys[:n_steps].swapaxes(0, 1)))  # (S,T,2)
 
         for t in range(n_steps):
             grouped = obs.reshape((S, E) + obs.shape[1:])
-            outs = self._act(self.params, jnp.asarray(grouped),
-                             jnp.asarray(step_keys[t]))
-            action, logprob, value = jax.device_get(outs)
+            packed = np.asarray(jax.device_get(self._act_packed(
+                self.params, jnp.asarray(grouped), keys_dev, np.int32(t))))
+            action = packed[:, 0].astype(np.int32)
+            logprob, value = packed[:, 1], packed[:, 2]
             buf_obs[t] = grouped
             buf_actions[t] = action
             buf_logprobs[t] = logprob
