@@ -124,12 +124,18 @@ def _run(extra_overrides) -> None:
 
     PREFETCH = int(os.environ.get("BENCH_PREFETCH", 4))
 
-    def superbatches():
-        while True:
-            yield from prefetch_to_device(loader, size=PREFETCH, superbatch=K,
-                                          yield_whole=True)
+    # ONE prefetch pipeline for the whole bench: restarting prefetch_to_device
+    # per loader pass (thread setup + first-batch latency) dominates when the
+    # dataset is small (the self-collected fallback is ~14 superbatches/pass
+    # — measured 526 vs 1600+ imgs/s loader-fed).  Epoch reshuffle still
+    # happens per pass inside the cycling iterable.
+    class _Cycle:
+        def __iter__(self):
+            while True:
+                yield from loader
 
-    it = superbatches()
+    it = prefetch_to_device(_Cycle(), size=PREFETCH, superbatch=K,
+                            yield_whole=True)
     step = 0
     while step < WARMUP:
         sb = next(it)
